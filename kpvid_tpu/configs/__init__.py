@@ -1,0 +1,19 @@
+from .config import (
+    Config,
+    DataConfig,
+    LRConfig,
+    ModelConfig,
+    PathsConfig,
+    TrainingConfig,
+    load_config,
+)
+
+__all__ = [
+    "Config",
+    "DataConfig",
+    "LRConfig",
+    "ModelConfig",
+    "PathsConfig",
+    "TrainingConfig",
+    "load_config",
+]

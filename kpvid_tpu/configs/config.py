@@ -1,0 +1,156 @@
+"""Typed, validated configuration.
+
+The reference uses one YAML file loaded into a plain dict with zero
+validation (reference: utils/__init__.py:8-10, configs/penn.yaml) and a set
+of hard-coded constants scattered through the code (IMAGE_SIZE=128,
+N_SEQUENCE_LEN=33, N_FUTURE_FRAMES=32, MIN_IMAGE_SEQ_LEN=663,
+heatmap inv_std=14.3, eval batch 8).
+
+Here everything is a dataclass with defaults equal to the reference values,
+loadable from the same YAML schema (the reference's penn.yaml parses
+unchanged), with the previously hard-coded constants promoted to real config
+fields.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Any
+
+import yaml
+
+
+@dataclasses.dataclass
+class PathsConfig:
+    data_dir: str = "./data/penn"
+    vggnet: str = "./data/vgg19.npy"
+    log_dir: str = "results/"
+
+
+@dataclasses.dataclass
+class LRConfig:
+    # reference: configs/penn.yaml:13-16 (Adam 1e-4, exp decay x0.95 / 20k)
+    start_val: float = 1e-4
+    step: int = 20_000
+    decay: float = 0.95
+
+
+@dataclasses.dataclass
+class TrainingConfig:
+    # reference: configs/penn.yaml:6-16
+    n_steps: int = 30_000_000
+    summary_interval: int = 500
+    test_interval: int = 500
+    checkpoint_interval: int = 20_000
+    log_interval: int = 250
+    batch_size: int = 16
+    lr: LRConfig = dataclasses.field(default_factory=LRConfig)
+    # TPU additions (no reference equivalent):
+    seed: int = 0
+    # 'fused': D and G updates in ONE jitted step on the SAME batch.
+    # 'two_batch': emulate the reference's quirk of running D and G as two
+    #   separate session runs that each pull a fresh batch
+    #   (reference: models/detector_translator_model.py:92-94).
+    gan_step_mode: str = "fused"
+    # bf16 matmuls/convs with f32 params+loss; 'float32' for exact math.
+    compute_dtype: str = "bfloat16"
+    # number of most-recent checkpoints to keep (None = keep all, like the
+    # reference's max_to_keep=None; reference: models/base_model.py:74)
+    keep_checkpoints: int | None = None
+    resume: bool = True  # fix of reference quirk Q3 (resume was unwired)
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    # reference: configs/penn.yaml:18-23
+    n_pts: int = 40
+    n_action: int = 9
+    cell_info: tuple[int, ...] = (1024, 1024)
+    vae_dim: int = 64
+    # constants hard-coded in the reference, promoted to config:
+    image_size: int = 128          # data/image_pair_dataloader.py:13
+    n_future_frames: int = 32      # models/motion_generator_model.py:11
+    heatmap_inv_std: float = 14.3  # utils/model.py:49
+    heatmap_size: int = 32         # detector_translator_model.py:168-169
+    # encoder trunk base filters (reference: networks/__init__.py:7)
+    encoder_filters: int = 32
+    translator_filters: int = 256  # networks/__init__.py:75
+    pose_decoder_filters: int = 128  # networks/__init__.py:36
+
+
+@dataclasses.dataclass
+class DataConfig:
+    """Host pipeline knobs (reference: data/base_dataloader.py:32-54)."""
+
+    shuffle_buffer: int = 2000
+    num_workers: int = 12
+    prefetch: int = 2
+    # sequence loading (reference: data/sequence_dataloader.py:14)
+    sequence_len: int = 33
+    # pseudo-labeling (reference: data/keypoint_dataloader.py:13). The TPU
+    # pipeline chunks videos instead of padding to 663; this is only the
+    # fallback pad length for compat mode.
+    min_image_seq_len: int = 663
+    # chunk size for streaming video frames through the pose encoder
+    labeler_chunk: int = 128
+    eval_batch_size: int = 8       # evaluate.py:27
+    synthetic: bool = False        # use the synthetic dataset (tests/bench)
+
+
+@dataclasses.dataclass
+class Config:
+    paths: PathsConfig = dataclasses.field(default_factory=PathsConfig)
+    training: TrainingConfig = dataclasses.field(default_factory=TrainingConfig)
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+
+    def validate(self) -> "Config":
+        m, t = self.model, self.training
+        if m.n_pts <= 0 or m.n_action <= 0:
+            raise ValueError("model.n_pts and model.n_action must be positive")
+        if m.image_size % m.heatmap_size != 0:
+            raise ValueError("image_size must be a multiple of heatmap_size")
+        if t.gan_step_mode not in ("fused", "two_batch"):
+            raise ValueError(f"unknown gan_step_mode {t.gan_step_mode!r}")
+        if t.compute_dtype not in ("bfloat16", "float32"):
+            raise ValueError(f"unknown compute_dtype {t.compute_dtype!r}")
+        if t.batch_size <= 0:
+            raise ValueError("batch_size must be positive")
+        return self
+
+
+def _build(cls, raw: dict[str, Any]):
+    """Recursively build a dataclass from a dict, rejecting unknown keys."""
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    kwargs = {}
+    for key, val in raw.items():
+        if key not in fields:
+            raise ValueError(f"unknown config key {key!r} for {cls.__name__}")
+        ftype = fields[key].type
+        nested = {
+            "lr": LRConfig,
+            "paths": PathsConfig,
+            "training": TrainingConfig,
+            "model": ModelConfig,
+            "data": DataConfig,
+        }
+        if key in nested and isinstance(val, dict):
+            kwargs[key] = _build(nested[key], val)
+        elif key == "cell_info":
+            kwargs[key] = tuple(int(v) for v in val)
+        else:
+            kwargs[key] = val
+        del ftype
+    return cls(**kwargs)
+
+
+def load_config(path: str | Path) -> Config:
+    """Load a YAML config. The reference's penn.yaml schema parses as-is."""
+    with open(path, "r") as f:
+        raw = yaml.safe_load(f) or {}
+    return _build(Config, raw).validate()
+
+
+def config_to_dict(cfg: Config) -> dict[str, Any]:
+    return dataclasses.asdict(cfg)

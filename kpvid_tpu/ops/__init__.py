@@ -1,0 +1,17 @@
+from .coords import (
+    blend,
+    colorize_point_maps,
+    heatmaps_to_keypoints,
+    render_gaussian_maps,
+    soft_argmax_1d,
+)
+from .resize import upsample2x
+
+__all__ = [
+    "blend",
+    "colorize_point_maps",
+    "heatmaps_to_keypoints",
+    "render_gaussian_maps",
+    "soft_argmax_1d",
+    "upsample2x",
+]
