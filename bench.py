@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Headline benchmark: generated video frames/sec on one chip.
+
+Measures the fused end-to-end generation path (pose-encode 1 image ->
+scan-decode 32 keypoint frames -> render heatmaps -> translate B*32 images
+at 128x128 -> blend) — the production serving workload. Baseline north
+star: >= 2000 frames/sec/chip on TPU v5e (BASELINE.json); vs_baseline is
+value / 2000.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from kpvid_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    from kpvid_tpu.configs import Config
+    from kpvid_tpu.eval import FinalGenerator
+
+    config = Config()  # production scale: 128^2, K=40, LSTM 1024x2, T=32
+    final = FinalGenerator(config)
+    m = config.model
+
+    batch = 16
+    s1_vars, s2_vars = final.init_variables(jax.random.PRNGKey(0))
+    im = jax.random.uniform(
+        jax.random.PRNGKey(2), (batch, m.image_size, m.image_size, 3),
+        jnp.float32, -1.0, 1.0,
+    )
+    act = jax.nn.one_hot(jnp.zeros((batch,), jnp.int32), m.n_action)
+
+    generate = jax.jit(final.generate)
+    # warmup/compile
+    out = generate(s1_vars, s2_vars["params"], im, act, jax.random.PRNGKey(3))
+    jax.block_until_ready(out)
+
+    iters = 20
+    # NOTE: under the experimental axon platform block_until_ready can
+    # return before device work completes; a scalar readback is the only
+    # reliable hard sync. One readback at the end drains the whole queue,
+    # so the measurement is true pipelined throughput.
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = generate(s1_vars, s2_vars["params"], im, act, jax.random.PRNGKey(i))
+    _ = float(out["pred_im_seq"][0, 0, 0, 0, 0])
+    dt = time.perf_counter() - t0
+
+    frames = batch * m.n_future_frames * iters
+    fps = frames / dt
+    print(
+        json.dumps(
+            {
+                "metric": "generated_frames_per_sec_per_chip",
+                "value": round(fps, 1),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / 2000.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

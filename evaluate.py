@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""End-to-end generation: 1 image + action class -> 32-frame video.
+
+CLI parity with reference evaluate.py:
+    python evaluate.py --config ... --checkpoint_stage1 ... \
+                       --checkpoint_stage2 ... --save_dir results/eval
+
+Per-sample output layout matches the reference (:100-131): input_im.png,
+current_points.png, and PNG dirs real_seq/ pred_seq/ mask/ crude/
+pred_points/. (The reference saved crude/ twice, unscaled then rescaled —
+quirk Q10; only the rescaled version is written here, which is what
+survived in the reference output too.) Both checkpoint_stage1/2 paths are
+validated (fixing quirk Q4, which checked stage1 twice).
+"""
+
+from __future__ import annotations
+
+from argparse import ArgumentParser
+from os import path as osp
+from pathlib import Path
+
+import numpy as np
+
+
+def _resolve_ckpt(path_str: str, flag: str):
+    from kpvid_tpu.utils.checkpoint import latest_checkpoint
+
+    p = Path(path_str)
+    if not p.exists():
+        raise FileNotFoundError(f"{flag}: checkpoint not found at {p}")
+    if not p.name.startswith("ckpt-"):
+        resolved = latest_checkpoint(p)
+        if resolved is None:
+            raise FileNotFoundError(f"{flag}: no ckpt-N directories under {p}")
+        return resolved
+    return p
+
+
+def main():
+    parser = ArgumentParser()
+    parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--checkpoint_stage1", type=str, required=True)
+    parser.add_argument("--checkpoint_stage2", type=str, required=True)
+    parser.add_argument("--save_dir", type=str, default="results/eval")
+    parser.add_argument("--synthetic", action="store_true")
+    parser.add_argument("--batch_size", type=int, default=None)
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from kpvid_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    from kpvid_tpu.configs import load_config
+    from kpvid_tpu.data import HostDataPipeline, SequenceDataset
+    from kpvid_tpu.eval import FinalGenerator
+    from kpvid_tpu.utils import get_n_colors, touch_dir
+    from kpvid_tpu.utils.checkpoint import merge_restore, restore_checkpoint
+    from kpvid_tpu.utils.logging import logger
+
+    config = load_config(args.config)
+    m_cfg = config.model
+    data_dir = config.paths.data_dir
+    batch_size = args.batch_size or config.data.eval_batch_size
+
+    if args.synthetic:
+        from kpvid_tpu.data import make_synthetic_penn_tree
+        from kpvid_tpu.data.synthetic import make_synthetic_pseudo_labels
+
+        make_synthetic_penn_tree(data_dir)
+        make_synthetic_pseudo_labels(data_dir, n_pts=m_cfg.n_pts)
+
+    ck1 = _resolve_ckpt(args.checkpoint_stage1, "--checkpoint_stage1")
+    ck2 = _resolve_ckpt(args.checkpoint_stage2, "--checkpoint_stage2")
+
+    # ----------------------------------------------------------- model init
+    final = FinalGenerator(config)
+    s1_vars, s2_vars = final.init_variables(jax.random.PRNGKey(0))
+
+    # two-checkpoint composition via name-filtered merge (reference
+    # restores both ckpts into one graph; evaluate.py:76-77)
+    r1 = restore_checkpoint(ck1)
+    s1_target = {"params": s1_vars["params"], "batch_stats": s1_vars["batch_stats"]}
+    s1_merged, n1 = merge_restore(
+        s1_target,
+        {"params": r1.get("g_params", {}), "batch_stats": r1.get("batch_stats", {})},
+    )
+    r2 = restore_checkpoint(ck2)
+    s2_params, n2 = merge_restore(s2_vars["params"], r2.get("g_params", {}))
+    if n1 == 0 or n2 == 0:
+        raise ValueError(f"checkpoint merge matched 0 tensors (stage1={n1}, stage2={n2})")
+    logger.info("restored stage1=%d tensors from %s; stage2=%d from %s", n1, ck1, n2, ck2)
+
+    colors = get_n_colors(m_cfg.n_pts)
+    generate = final.jitted_generate
+    render_points = jax.jit(lambda mu: final.render_point_images(mu, colors))
+
+    # --------------------------------------------------------------- data
+    test_ds = SequenceDataset(
+        data_dir, "test",
+        n_pts=m_cfg.n_pts, n_action=m_cfg.n_action,
+        sequence_len=config.data.sequence_len, image_size=m_cfg.image_size,
+        with_image_seq=True,
+    )
+    pipe = HostDataPipeline(
+        test_ds, batch_size, num_workers=config.data.num_workers,
+        seed=0, drop_remainder=False,
+    )
+
+    rng = jax.random.PRNGKey(args.seed)
+    sample_idx = 0
+    for batch in pipe.batches():
+        bs = batch["image"].shape[0]
+        im = jnp.asarray(batch["image"])
+        act = jnp.asarray(batch["action_code"])
+        rng, gen_rng = jax.random.split(rng)
+        out = generate(s1_merged, s2_params, im, act, gen_rng)
+        cur_pts_img = np.asarray(render_points(out["current_points"]))
+        fut_pts_img = np.asarray(
+            render_points(out["future_points"].reshape(-1, m_cfg.n_pts, 2))
+        ).reshape(bs, m_cfg.n_future_frames, m_cfg.image_size, m_cfg.image_size, 3)
+
+        out_np = {k: np.asarray(v) for k, v in out.items()}
+        for b in range(bs):
+            d = touch_dir(osp.join(args.save_dir, f"{sample_idx:04d}"))
+            _save_img(d / "input_im.png", out_np["im"][b], rescale=True)
+            _save_img(d / "current_points.png", cur_pts_img[b], rescale=False)
+            _save_seq(d / "real_seq", batch["real_im_seq"][b], rescale=True)
+            _save_seq(d / "pred_seq", out_np["pred_im_seq"][b], rescale=True)
+            _save_seq(d / "mask", out_np["mask"][b], rescale=False)
+            _save_seq(d / "crude", out_np["pred_im_crude"][b], rescale=True)
+            _save_seq(d / "pred_points", fut_pts_img[b], rescale=False)
+            sample_idx += 1
+    logger.info("wrote %d samples to %s", sample_idx, args.save_dir)
+
+
+def _save_img(file_path, img: np.ndarray, rescale: bool):
+    from PIL import Image
+
+    mode = None
+    if img.shape[-1] <= 2:
+        img, mode = img[..., 0], "L"
+    if rescale:
+        img = 0.5 * (img + 1.0)
+    img = (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
+    Image.fromarray(img, mode=mode).save(file_path)
+
+
+def _save_seq(out_dir, seq: np.ndarray, rescale: bool):
+    from kpvid_tpu.utils import touch_dir
+
+    touch_dir(out_dir)
+    for i in range(seq.shape[0]):
+        _save_img(Path(out_dir) / f"{i:06d}.png", seq[i], rescale)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,156 @@
+"""Host-side data pipeline: multi-threaded decode/augment -> batched numpy.
+
+Counterpart of the reference's tf.data generator pipeline
+(reference data/base_dataloader.py:32-54: from_generator -> repeat ->
+shuffle(2000) -> map(12 threads) -> batch -> prefetch(1)). Rebuilt without
+tf.data: a pool of worker threads runs the dataset's `sample(idx, rng)`
+(PIL/numpy — PIL releases the GIL in its C loops), the consumer reassembles
+results in sequence order into fixed-shape numpy batches, and a bounded
+queue provides prefetch back-pressure. Deterministic: each sample's RNG is
+seeded by (seed, epoch, index), so results are independent of worker count
+and scheduling.
+
+Datasets implement:
+    __len__() -> int
+    sample(idx: int, rng: np.random.Generator) -> dict[str, np.ndarray]
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Protocol
+
+import numpy as np
+
+
+class Dataset(Protocol):
+    def __len__(self) -> int: ...
+
+    def sample(self, idx: int, rng: np.random.Generator) -> dict[str, np.ndarray]: ...
+
+
+def _stack(samples: list[dict[str, np.ndarray]]) -> dict[str, np.ndarray]:
+    keys = samples[0].keys()
+    return {k: np.stack([s[k] for s in samples], axis=0) for k in keys}
+
+
+_SENTINEL = object()
+
+
+class HostDataPipeline:
+    def __init__(
+        self,
+        dataset: Dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        repeat: bool = False,
+        num_workers: int = 12,
+        prefetch: int = 2,
+        seed: int = 0,
+        drop_remainder: bool | None = None,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.repeat = repeat
+        self.num_workers = max(1, num_workers)
+        self.prefetch = max(1, prefetch)
+        self.seed = seed
+        # training (repeat) wants static shapes -> drop remainder; eval
+        # sweeps want every sample -> keep the ragged final batch
+        self.drop_remainder = repeat if drop_remainder is None else drop_remainder
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_remainder:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _index_stream(self) -> Iterator[tuple[int, int]]:
+        epoch = 0
+        order_rng = np.random.default_rng(self.seed)
+        n = len(self.dataset)
+        while True:
+            idxs = order_rng.permutation(n) if self.shuffle else np.arange(n)
+            for i in idxs:
+                yield epoch, int(i)
+            epoch += 1
+            if not self.repeat:
+                return
+
+    def samples(self) -> Iterator[dict[str, np.ndarray]]:
+        """Yield individual samples, in deterministic sequence order."""
+        in_q: queue.Queue = queue.Queue(maxsize=self.num_workers * 2)
+        out_q: queue.Queue = queue.Queue(
+            maxsize=self.prefetch * self.batch_size + self.num_workers
+        )
+        stop = threading.Event()
+
+        def worker():
+            while True:
+                item = in_q.get()
+                if item is _SENTINEL or stop.is_set():
+                    in_q.put(_SENTINEL)
+                    return
+                seq, epoch, idx = item
+                rng = np.random.default_rng(
+                    np.random.SeedSequence([self.seed, epoch, idx])
+                )
+                try:
+                    result = self.dataset.sample(idx, rng)
+                except Exception as e:  # surfaced to the consumer
+                    result = e
+                out_q.put((seq, result))
+
+        def feeder():
+            seq = 0
+            for epoch, idx in self._index_stream():
+                if stop.is_set():
+                    return
+                in_q.put((seq, epoch, idx))
+                seq += 1
+            in_q.put(_SENTINEL)
+            out_q.put((seq, _SENTINEL))  # end marker carries the total
+
+        threads = [
+            threading.Thread(target=worker, daemon=True) for _ in range(self.num_workers)
+        ] + [threading.Thread(target=feeder, daemon=True)]
+        for t in threads:
+            t.start()
+
+        try:
+            pending: dict[int, object] = {}
+            next_seq = 0
+            total = None
+            while total is None or next_seq < total:
+                if next_seq in pending:
+                    result = pending.pop(next_seq)
+                    if isinstance(result, Exception):
+                        raise result
+                    yield result
+                    next_seq += 1
+                    continue
+                seq, result = out_q.get()
+                if result is _SENTINEL:
+                    total = seq
+                    continue
+                pending[seq] = result
+        finally:
+            stop.set()
+            # drain so workers blocked on put() can exit
+            try:
+                while True:
+                    out_q.get_nowait()
+            except queue.Empty:
+                pass
+
+    def batches(self) -> Iterator[dict[str, np.ndarray]]:
+        buf: list[dict] = []
+        for sample in self.samples():
+            buf.append(sample)
+            if len(buf) == self.batch_size:
+                yield _stack(buf)
+                buf = []
+        if buf and not self.drop_remainder:
+            yield _stack(buf)

@@ -1,0 +1,104 @@
+"""Stage-1 dataset: augmented (frame_t, frame_{t+d}) pairs.
+
+Counterpart of reference data/image_pair_dataloader.py. Behavior parity:
+- split file `<data_dir>/<subset>_set.txt`, lines "frames/<id> <action>",
+- train: uniform random frame t, d ~ U{8..11}, WRAPAROUND t+d mod len
+  (reference :79-82), rotate U{-10..10} deg, short-side resize to 128,
+  random crop along the long axis, 50% h-flip, one random PIL
+  filter/enhance branch,
+- test: t=0, d=10, deterministic quirk-Q8 crop (x centered, y top-aligned),
+- output float32 images in [-1, 1] (the reference maps [0,1]->[-1,1] in
+  tf.data map_fn; :65-70).
+"""
+
+from __future__ import annotations
+
+import os
+from os import path as osp
+
+import numpy as np
+from PIL import Image
+
+from . import augment
+
+
+def read_split(data_dir: str, subset: str) -> list[tuple[str, int]]:
+    with open(osp.join(data_dir, subset + "_set.txt"), "r") as f:
+        lines = [ln.split() for ln in f.read().splitlines() if ln.strip()]
+    return [(rel, int(act)) for rel, act in lines]
+
+
+def video_frame_count(data_dir: str, rel_path: str) -> int:
+    return len(os.listdir(osp.join(data_dir, rel_path)))
+
+
+def load_frame(data_dir: str, rel_path: str, idx: int) -> Image.Image:
+    """Frames are 1-based '%06d.jpg' files (reference :85-87)."""
+    return Image.open(osp.join(data_dir, rel_path, f"{idx + 1:06d}.jpg"))
+
+
+class ImagePairDataset:
+    def __init__(
+        self,
+        data_dir: str,
+        subset: str,
+        image_size: int = 128,
+        augment_samples: bool | None = None,
+        random_pairs: bool | None = None,
+    ):
+        self.data_dir = data_dir
+        self.image_size = image_size
+        self.videos = read_split(data_dir, subset)
+        is_train = subset == "train"
+        self.augment_samples = is_train if augment_samples is None else augment_samples
+        self.random_pairs = is_train if random_pairs is None else random_pairs
+
+    def __len__(self) -> int:
+        return len(self.videos)
+
+    def sample(self, idx: int, rng: np.random.Generator) -> dict[str, np.ndarray]:
+        if self.random_pairs:
+            # random VIDEO too: the reference's train generator ignores the
+            # sequential index and redraws (reference :52-56)
+            idx = int(rng.integers(0, len(self.videos)))
+        rel, _act = self.videos[idx]
+        n_frames = video_frame_count(self.data_dir, rel)
+
+        if self.random_pairs:
+            interval = int(rng.integers(8, 12))
+            t = int(rng.integers(0, n_frames))
+            t_future = (t + interval) % n_frames
+        else:
+            t, t_future = 0, min(10, n_frames - 1)
+
+        im = load_frame(self.data_dir, rel, t).convert("RGB")
+        fim = load_frame(self.data_dir, rel, t_future).convert("RGB")
+
+        size = self.image_size
+        if self.augment_samples:
+            angle = int(rng.integers(-10, 11))
+            im, fim = im.rotate(angle), fim.rotate(angle)
+            im, _ = augment.resize_short_side(im, size)
+            fim, _ = augment.resize_short_side(fim, size)
+            w, h = im.size
+            if w > h:
+                off = int(rng.integers(0, w - size + 1))
+                box = (off, 0, off + size, size)
+            else:
+                off = int(rng.integers(0, h - size + 1))
+                box = (0, off, size, off + size)
+            im, fim = im.crop(box), fim.crop(box)
+            if int(rng.integers(0, 2)):
+                im = im.transpose(Image.FLIP_LEFT_RIGHT)
+                fim = fim.transpose(Image.FLIP_LEFT_RIGHT)
+            im, fim = augment.apply_random_filter([im, fim], rng)
+        else:
+            box, _ = augment.pair_test_crop_box(im.size, size)
+            im, _ = augment.resize_short_side(im, size)
+            fim, _ = augment.resize_short_side(fim, size)
+            im, fim = im.crop(box), fim.crop(box)
+
+        return {
+            "image": augment.to_unit_float(im) * 2.0 - 1.0,
+            "future_image": augment.to_unit_float(fim) * 2.0 - 1.0,
+        }

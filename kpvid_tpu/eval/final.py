@@ -1,0 +1,124 @@
+"""Fused end-to-end generation: one image + action class -> T-frame video.
+
+Counterpart of reference models/final_model.py:49-122, rebuilt as ONE
+jittable function:
+
+  pose-encode the input image -> first-frame keypoints
+  z ~ N(0,1) -> motion decoder (lax.scan) -> T future keypoint frames
+  render 32^2 Gaussian maps; broadcast the once-computed image embedding
+  and current-keypoint map across T; translate the B*T batch; blend with
+  the (broadcast) input image; clip to [-1,1].
+
+The stage-1 and stage-2 parameters come from two independent checkpoints
+and are merged by the caller (utils/checkpoint.restore_merge — the
+reference achieves the same with name-intersection partial restore;
+base_model.py:83-92, evaluate.py:76-77).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..configs import Config
+from ..models import MotionGenerator, Stage1Generator
+from ..ops import colorize_point_maps, render_gaussian_maps
+
+
+class FinalGenerator:
+    def __init__(self, config: Config):
+        self.config = config
+        m = config.model
+        self.dtype = (
+            jnp.bfloat16 if config.training.compute_dtype == "bfloat16" else jnp.float32
+        )
+        self.n_pts = m.n_pts
+        self.vae_dim = m.vae_dim
+        self.n_future = m.n_future_frames
+        self.image_size = m.image_size
+        self.stage1 = Stage1Generator(
+            n_pts=m.n_pts,
+            heatmap_size=m.heatmap_size,
+            heatmap_inv_std=m.heatmap_inv_std,
+            dtype=self.dtype,
+        )
+        self.stage2 = MotionGenerator(
+            n_pts=m.n_pts,
+            n_future=m.n_future_frames,
+            cell_info=tuple(m.cell_info),
+            vae_dim=m.vae_dim,
+            dtype=self.dtype,
+        )
+
+    def init_variables(self, rng: jax.Array) -> tuple[dict, dict]:
+        """Jit-initialized (stage1_vars, stage2_vars) at config shapes.
+        (Jitted init compiles one program instead of eagerly compiling
+        hundreds of micro-ops — much faster cold start.)"""
+        m = self.config.model
+        r1, r2 = jax.random.split(rng)
+        dummy = jnp.zeros((1, m.image_size, m.image_size, 3), jnp.float32)
+        s1_vars = jax.jit(lambda r: self.stage1.init(r, dummy, dummy, train=False))(r1)
+        s2_vars = jax.jit(
+            lambda r: self.stage2.init(
+                r,
+                jnp.zeros((1, m.n_future_frames, 2 * m.n_pts)),
+                jnp.zeros((1, 2 * m.n_pts)),
+                jnp.zeros((1, m.n_action)),
+                jnp.zeros((1, m.vae_dim)),
+            )
+        )(r2)
+        return s1_vars, s2_vars
+
+    def generate(
+        self,
+        stage1_vars: dict,
+        stage2_params: dict,
+        im: jax.Array,
+        action_code: jax.Array,
+        rng: jax.Array,
+    ) -> dict:
+        """im: [B, H, W, 3] in [-1, 1]; action_code: [B, A] one-hot.
+
+        Returns pred_im_seq [B,T,H,W,3], mask, pred_im_crude, current_points
+        / future_points visualizations inputs (raw keypoints), matching the
+        reference output dict (final_model.py:112-121).
+        """
+        b = im.shape[0]
+        # 1) current keypoints from the frozen pose encoder
+        current_mu = self.stage1.apply(stage1_vars, im, method=self.stage1.detect)
+        first_pt = current_mu.reshape(b, 2 * self.n_pts)
+
+        # 2) sample motion: z ~ N(0,1), scan-decode T keypoint frames
+        z = jax.random.normal(rng, (b, self.vae_dim), jnp.float32)
+        pred_flat = self.stage2.apply(
+            {"params": stage2_params}, z, first_pt, action_code,
+            method=self.stage2.decode,
+        )  # [B, T, 2K]
+        future_mu_seq = pred_flat.reshape(b, self.n_future, self.n_pts, 2)
+
+        # 3) translate: embedding computed once, broadcast across T
+        out = self.stage1.apply(
+            stage1_vars, im, current_mu, future_mu_seq, method=self.stage1.generate
+        )
+        return {
+            "im": im,
+            "pred_im_seq": out["pred_im_seq"],
+            "mask": out["mask"],
+            "pred_im_crude": out["pred_im_crude"],
+            "current_points": current_mu,
+            "future_points": future_mu_seq,
+            "fut_pt_raw": future_mu_seq,
+        }
+
+    @functools.cached_property
+    def jitted_generate(self):
+        return jax.jit(self.generate)
+
+    def render_point_images(self, mu, colors, size: int | None = None) -> jax.Array:
+        """Colorized keypoint visualization at full resolution (reference
+        final_model.py:101-110)."""
+        size = size or self.image_size
+        maps = render_gaussian_maps(mu, size, size, self.config.model.heatmap_inv_std)
+        return colorize_point_maps(maps, colors)

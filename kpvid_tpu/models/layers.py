@@ -1,0 +1,193 @@
+"""Primitive NN layers.
+
+Counterpart of reference models/networks/layers.py (conv, batch_norm,
+lstm_model, to_coord), rebuilt as Flax modules with TPU-first choices:
+
+- convs default to a compute dtype (bf16 on TPU) with f32 params; XLA keeps
+  MXU accumulation in f32 via preferred_element_type,
+- the stacked LSTM is ONE `lax.scan` over time with the per-layer gate
+  matmuls fused as [x, h] @ W (kernel layout [input+hidden, 4*units] with
+  TF's i, j, f, o gate order and forget_bias=1.0, so TF1 checkpoints can be
+  transcoded weight-for-weight; reference models/networks/layers.py:17-21),
+- cell state is kept in f32 regardless of compute dtype for recurrence
+  stability.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+xavier_uniform = nn.initializers.xavier_uniform()
+
+
+class Conv(nn.Module):
+    """2D conv, Xavier init, SAME padding, optional explicit pre-pad.
+
+    Parity: reference models/networks/layers.py:4-10 (pre-pad + SAME conv is
+    the reference's PatchGAN padding idiom).
+    """
+
+    features: int
+    kernel: int = 4
+    stride: int = 2
+    pad: int = 0
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        if self.pad:
+            x = jnp.pad(x, ((0, 0), (self.pad, self.pad), (self.pad, self.pad), (0, 0)))
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding="SAME",
+            use_bias=self.use_bias,
+            kernel_init=xavier_uniform,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+
+
+class BatchNorm(nn.Module):
+    """BN eps=1e-5, center+scale, moving stats (reference layers.py:13-14;
+    tf.contrib defaults: decay 0.999)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.999,
+            epsilon=1e-5,
+            use_bias=True,
+            use_scale=True,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+
+
+def conv_bn_relu(
+    x: jax.Array,
+    features: int,
+    kernel: int,
+    stride: int,
+    train: bool,
+    dtype: Dtype,
+    name: str,
+) -> jax.Array:
+    x = Conv(features, kernel, stride, dtype=dtype, name=f"{name}_conv")(x)
+    x = BatchNorm(dtype=dtype, name=f"{name}_bn")(x, train)
+    return nn.relu(x)
+
+
+class StackedLSTM(nn.Module):
+    """Multi-layer LSTM over a full sequence via a single `lax.scan`.
+
+    The reference builds tf.nn.rnn_cell.LSTMCell stacks and either
+    `dynamic_rnn`s or Python-unrolls them 32 times (reference
+    models/networks/__init__.py:105-138). Here one scan carries all layers'
+    (c, h); per step each layer does one fused [B, D+H] @ [D+H, 4H] matmul
+    on the MXU.
+
+    Gate order i, j, f, o with forget_bias=1.0 matches TF LSTMCell for
+    checkpoint transcoding.
+    """
+
+    features: Sequence[int]
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs: jax.Array, return_final_state: bool = False):
+        """xs: [B, T, D] -> outputs [B, T, features[-1]]."""
+        batch = xs.shape[0]
+        in_dims = [xs.shape[-1]] + [int(f) for f in self.features[:-1]]
+        kernels = []
+        biases = []
+        for li, (d, h) in enumerate(zip(in_dims, self.features)):
+            kernels.append(
+                self.param(f"lstm_{li}_kernel", xavier_uniform, (d + h, 4 * h), jnp.float32)
+            )
+            biases.append(
+                self.param(f"lstm_{li}_bias", nn.initializers.zeros, (4 * h,), jnp.float32)
+            )
+
+        # full f32 matmul precision when not in bf16 compute (XLA's default
+        # 'default' precision may compute f32 matmuls at reduced precision)
+        precision = None if self.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+
+        def cell_step(c, h, x, kernel, bias, units):
+            gates = jnp.dot(
+                jnp.concatenate([x, h], axis=-1).astype(self.dtype),
+                kernel.astype(self.dtype),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            ) + bias
+            i, j, f, o = jnp.split(gates, 4, axis=-1)
+            new_c = jax.nn.sigmoid(f + 1.0) * c + jax.nn.sigmoid(i) * jnp.tanh(j)
+            new_h = jax.nn.sigmoid(o) * jnp.tanh(new_c)
+            del units
+            return new_c, new_h
+
+        def scan_body(carry, x_t):
+            new_carry = []
+            inp = x_t
+            for (c, h), k, b, u in zip(carry, kernels, biases, self.features):
+                c2, h2 = cell_step(c, h, inp, k, b, u)
+                new_carry.append((c2, h2))
+                inp = h2
+            return tuple(new_carry), inp
+
+        init = tuple(
+            (
+                jnp.zeros((batch, h), jnp.float32),
+                jnp.zeros((batch, h), jnp.float32),
+            )
+            for h in self.features
+        )
+        xs_t = jnp.swapaxes(xs, 0, 1)  # [T, B, D]
+        final_state, ys = jax.lax.scan(scan_body, init, xs_t)
+        outputs = jnp.swapaxes(ys, 0, 1)  # [B, T, H]
+        if return_final_state:
+            return outputs, final_state
+        return outputs
+
+
+class Dense(nn.Module):
+    """FC layer. `tanh_coord=True` reproduces the reference's shared
+    `to_coord` head (normal(0.02) init, zero bias, tanh — reference
+    layers.py:24-28); otherwise ReLU-free linear with Xavier init matching
+    tf.contrib.layers.fully_connected's default activation is NOT applied —
+    callers add their own nonlinearity. NOTE: tf.contrib fully_connected
+    defaults to relu activation; the reference relies on that default in
+    vae_encoder/decoder/seq_discr, so callers there pass `relu=True`."""
+
+    features: int
+    tanh_coord: bool = False
+    relu: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        init = (
+            nn.initializers.normal(stddev=0.02) if self.tanh_coord else xavier_uniform
+        )
+        y = nn.Dense(
+            self.features,
+            kernel_init=init,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+        if self.tanh_coord:
+            return jnp.tanh(y)
+        if self.relu:
+            return nn.relu(y)
+        return y

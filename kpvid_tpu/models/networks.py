@@ -1,0 +1,331 @@
+"""Network definitions (pure-functional Flax modules).
+
+Counterpart of reference models/networks/__init__.py, with the reference's
+exact filter schedules and head conventions, built TPU-first:
+
+- both frames of a stage-1 pair go through the pose encoder as ONE 2B batch
+  (the reference calls the shared-weight encoder twice;
+  models/detector_translator_model.py:166-167) — bigger batches for the MXU.
+  Design note D1: in train mode this computes BN batch statistics over the
+  joint 2B batch instead of per-call; same expectation, lower variance.
+- LSTM stacks are lax.scan (layers.StackedLSTM), and the per-step output
+  heads (to_coord / seq-discr FC) are applied to ALL timesteps in one
+  [B*T, H] matmul after the scan.
+- spatial soft-argmax always runs in f32 even under bf16 compute.
+
+QUIRK (Q6-revised): the reference's `tf.contrib.layers.fully_connected`
+defaults to ReLU activation, and vae_encoder's mu/stddev head
+(networks/__init__.py:110), vae_decoder's input projection (:120) and
+seq_discr's per-step logit (:137) all use that default. So mu >= 0,
+stddev >= 0 (KL guards log with 1e-8), the decoder's step-0 input is
+relu'd, and the sequence discriminator emits non-negative logits. We
+replicate all three faithfully.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops import heatmaps_to_keypoints, render_gaussian_maps, upsample2x
+from .layers import BatchNorm, Conv, Dense, StackedLSTM, conv_bn_relu
+
+Dtype = Any
+
+
+class ConvEncoder(nn.Module):
+    """Shared conv trunk: 7x7s1 + 3x3s1 at base width, then 3 octaves of
+    [3x3s2 + 3x3s1] with doubling filters; BN+ReLU throughout. Returns the
+    four block features at 128^2/64^2/32^2/16^2 resolution.
+
+    Parity: reference models/networks/__init__.py:7-26.
+    """
+
+    filters: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> list[jax.Array]:
+        f = self.filters
+        x = conv_bn_relu(x, f, 7, 1, train, self.dtype, "in0")
+        x = conv_bn_relu(x, f, 3, 1, train, self.dtype, "in1")
+        feats = [x]
+        for i in range(3):
+            f *= 2
+            x = conv_bn_relu(x, f, 3, 2, train, self.dtype, f"down{i}")
+            x = conv_bn_relu(x, f, 3, 1, train, self.dtype, f"keep{i}")
+            feats.append(x)
+        return feats
+
+
+class ImageEncoder(nn.Module):
+    """Appearance encoder; consumers use feats[-2] = 32^2 x 128ch
+    (reference models/networks/__init__.py:29-33)."""
+
+    filters: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> list[jax.Array]:
+        feats = ConvEncoder(self.filters, self.dtype, name="trunk")(x, train)
+        return [x] + feats
+
+
+class PoseEncoder(nn.Module):
+    """Unsupervised keypoint detector: trunk + skip-connected upsampling
+    decoder to a K-channel raw heatmap at full resolution, then spatial
+    soft-argmax to (x, y) in [-1, 1].
+
+    Parity: reference models/networks/__init__.py:36-72 — decoder filters
+    start at 128 and halve per octave; skip-concat of trunk features at each
+    upsample; final 1x1 conv to K channels; soft-argmax via axis marginals.
+    Returns keypoints [B, K, 2]; `return_raw_maps` also yields the raw
+    heatmap for the fused-Pallas path and diagnostics.
+    """
+
+    n_pts: int
+    filters: int = 128
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool, return_raw_maps: bool = False):
+        final_res = x.shape[1]
+        feats = ConvEncoder(dtype=self.dtype, name="trunk")(x, train)
+        x = feats[-1]
+        f = self.filters
+        octave = 0
+        while True:
+            if octave > 0:
+                x = jnp.concatenate([x, feats[-1 - octave]], axis=-1)
+            x = conv_bn_relu(x, f, 3, 1, train, self.dtype, f"dec{octave}a")
+            x = conv_bn_relu(x, f, 3, 1, train, self.dtype, f"dec{octave}b")
+            if x.shape[1] == final_res:
+                raw = Conv(self.n_pts, 1, 1, dtype=self.dtype, name="heat")(x)
+                break
+            x = conv_bn_relu(x, f, 3, 1, train, self.dtype, f"dec{octave}c")
+            x = conv_bn_relu(x, f, 3, 1, train, self.dtype, f"dec{octave}d")
+            x = upsample2x(x)
+            if f >= 8:
+                f //= 2
+            octave += 1
+        mu = heatmaps_to_keypoints(raw.astype(jnp.float32))
+        if return_raw_maps:
+            return mu, raw
+        return mu
+
+
+class Translator(nn.Module):
+    """Image decoder: joint embedding at 32^2 -> two conv blocks per octave,
+    2x upsample, filters halving from 256; heads: 3ch crude image + 1ch
+    sigmoid blending mask (reference models/networks/__init__.py:75-102).
+
+    final_res=None upsamples 4x (the embedding is always at image_size/4,
+    so output lands at image_size)."""
+
+    filters: int = 256
+    final_res: int | None = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool):
+        final_res = self.final_res or x.shape[1] * 4
+        f = self.filters
+        octave = 0
+        while True:
+            x = conv_bn_relu(x, f, 3, 1, train, self.dtype, f"oct{octave}a")
+            x = conv_bn_relu(x, f, 3, 1, train, self.dtype, f"oct{octave}b")
+            if x.shape[1] == final_res:
+                crude = Conv(3, 3, 1, dtype=self.dtype, name="crude")(x)
+                mask = Conv(1, 3, 1, dtype=self.dtype, name="mask")(x)
+                mask = jax.nn.sigmoid(mask.astype(jnp.float32))
+                return crude.astype(jnp.float32), mask
+            x = conv_bn_relu(x, f, 3, 1, train, self.dtype, f"oct{octave}c")
+            x = conv_bn_relu(x, f, 3, 1, train, self.dtype, f"oct{octave}d")
+            x = upsample2x(x)
+            if f >= 8:
+                f //= 2
+            octave += 1
+
+
+class ImageDiscriminator(nn.Module):
+    """PatchGAN: 6x [pad1 + conv4s2], channels 64->2048, leaky-ReLU 0.01,
+    then pad1 + conv3s1 -> 1 logit map, no bias
+    (reference models/networks/__init__.py:141-151)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        ch = 64
+        x = Conv(ch, 4, 2, pad=1, dtype=self.dtype, name="conv0")(x)
+        x = nn.leaky_relu(x, 0.01)
+        for i in range(1, 6):
+            ch *= 2
+            x = Conv(ch, 4, 2, pad=1, dtype=self.dtype, name=f"conv{i}")(x)
+            x = nn.leaky_relu(x, 0.01)
+        logit = Conv(1, 3, 1, pad=1, use_bias=False, dtype=self.dtype, name="logit")(x)
+        return logit.astype(jnp.float32)
+
+
+class Stage1Generator(nn.Module):
+    """Stage-1 generator graph: image encoder on frame t, pose encoder on
+    both frames (one 2B batch, shared weights), Gaussian maps at 32^2,
+    translator, masked blend.
+
+    Parity: reference models/detector_translator_model.py:160-184.
+    """
+
+    n_pts: int
+    heatmap_size: int = 32
+    heatmap_inv_std: float = 14.3
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.image_encoder = ImageEncoder(dtype=self.dtype)
+        self.pose_encoder = PoseEncoder(self.n_pts, dtype=self.dtype)
+        self.translator = Translator(dtype=self.dtype)
+
+    def __call__(self, im: jax.Array, future_im: jax.Array, train: bool) -> dict:
+        b = im.shape[0]
+        embeddings = self.image_encoder(im, train)
+        both = jnp.concatenate([im, future_im], axis=0)
+        mu_both = self.pose_encoder(both, train)
+        current_mu, future_mu = mu_both[:b], mu_both[b:]
+
+        hs = self.heatmap_size
+        current_map = render_gaussian_maps(current_mu, hs, hs, self.heatmap_inv_std)
+        future_map = render_gaussian_maps(future_mu, hs, hs, self.heatmap_inv_std)
+        joint = jnp.concatenate(
+            [embeddings[-2], current_map.astype(self.dtype), future_map.astype(self.dtype)],
+            axis=-1,
+        )
+        crude, mask = self.translator(joint, train)
+        final = im * mask + crude * (1.0 - mask)
+        return {
+            "final": final,
+            "crude": crude,
+            "mask": mask,
+            "current_mu": current_mu,
+            "future_mu": future_mu,
+        }
+
+    def detect(self, im: jax.Array, train: bool = False) -> jax.Array:
+        """Pose-encode frames -> keypoints [B, K, 2] (pseudo-labeling path,
+        reference models/keypoint_model.py:42-57)."""
+        return self.pose_encoder(im, train)
+
+    def generate(
+        self,
+        im: jax.Array,
+        current_mu: jax.Array,
+        future_mu_seq: jax.Array,
+        train: bool = False,
+    ) -> dict:
+        """Fused generation: translate one source frame to T future frames.
+
+        im: [B, H, W, 3]; current_mu: [B, K, 2]; future_mu_seq: [B, T, K, 2].
+        The image embedding and the current-keypoint heatmap are computed
+        ONCE and broadcast across T (the reference tiles tensors B*32;
+        models/final_model.py:58-92).
+        """
+        b, t = future_mu_seq.shape[0], future_mu_seq.shape[1]
+        hs = self.heatmap_size
+        emb = self.image_encoder(im, train)[-2]  # [B, 32, 32, 128]
+        cur_map = render_gaussian_maps(current_mu, hs, hs, self.heatmap_inv_std)
+        fut_map = render_gaussian_maps(
+            future_mu_seq.reshape(b * t, *future_mu_seq.shape[2:]), hs, hs, self.heatmap_inv_std
+        )
+        emb_t = jnp.repeat(emb, t, axis=0)
+        cur_t = jnp.repeat(cur_map, t, axis=0)
+        joint = jnp.concatenate(
+            [emb_t, cur_t.astype(self.dtype), fut_map.astype(self.dtype)], axis=-1
+        )
+        crude, mask = self.translator(joint, train)
+        im_t = jnp.repeat(im, t, axis=0)
+        final = im_t * mask + crude * (1.0 - mask)
+        final = jnp.clip(final, -1.0, 1.0)
+        crude = jnp.clip(crude, -1.0, 1.0)
+        hw = im.shape[1:3]
+        return {
+            "pred_im_seq": final.reshape(b, t, *hw, 3),
+            "mask": mask.reshape(b, t, *hw, 1),
+            "pred_im_crude": crude.reshape(b, t, *hw, 3),
+        }
+
+
+class MotionGenerator(nn.Module):
+    """Stage-2 class-conditional VAE over keypoint sequences.
+
+    encode: LSTM over the real sequence; last output ++ first_pt ++ action
+    -> relu FC -> (mu, stddev), both >= 0 by the relu quirk (see module
+    docstring; reference models/networks/__init__.py:105-113).
+    decode: relu FC([z, first_pt, action]) -> 32-dim step-0 input; steps
+    1..T-1 get zero input; shared tanh `to_coord` head maps every step's
+    LSTM output to 2K coords (reference :116-129). Implemented as one scan
+    over the [input, 0, ..., 0] sequence + a single [B*T] head matmul.
+    """
+
+    n_pts: int
+    n_future: int = 32
+    cell_info: Sequence[int] = (1024, 1024)
+    vae_dim: int = 64
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.enc_lstm = StackedLSTM(tuple(self.cell_info), dtype=self.dtype)
+        self.enc_head = Dense(2 * self.vae_dim, relu=True, dtype=self.dtype)
+        self.dec_in = Dense(32, relu=True, dtype=self.dtype)
+        self.dec_lstm = StackedLSTM(tuple(self.cell_info), dtype=self.dtype)
+        self.to_coord = Dense(2 * self.n_pts, tanh_coord=True, dtype=self.dtype)
+
+    def encode(self, real_seq: jax.Array, first_pt: jax.Array, act: jax.Array):
+        """real_seq: [B, T, 2K]; first_pt: [B, 2K]; act: [B, A]."""
+        outs = self.enc_lstm(real_seq)
+        logit = self.enc_head(jnp.concatenate([outs[:, -1, :], first_pt, act], axis=-1))
+        mu = logit[:, : self.vae_dim]
+        stddev = logit[:, self.vae_dim :]
+        return mu, stddev
+
+    def decode(self, z: jax.Array, first_pt: jax.Array, act: jax.Array) -> jax.Array:
+        """-> predicted sequence [B, T, 2K]."""
+        b = z.shape[0]
+        inp0 = self.dec_in(jnp.concatenate([z, first_pt, act], axis=-1))  # [B, 32]
+        xs = jnp.concatenate(
+            [inp0[:, None, :], jnp.zeros((b, self.n_future - 1, inp0.shape[-1]), inp0.dtype)],
+            axis=1,
+        )
+        outs = self.dec_lstm(xs)  # [B, T, H]
+        coords = self.to_coord(outs.reshape(b * self.n_future, -1))
+        return coords.reshape(b, self.n_future, 2 * self.n_pts)
+
+    def __call__(
+        self,
+        real_seq: jax.Array,
+        first_pt: jax.Array,
+        act: jax.Array,
+        noise: jax.Array,
+    ):
+        """Training forward: encode, reparameterize, decode."""
+        mu, stddev = self.encode(real_seq, first_pt, act)
+        z = mu + stddev * noise
+        pred_seq = self.decode(z, first_pt, act)
+        return pred_seq, mu, stddev
+
+
+class SeqDiscriminator(nn.Module):
+    """LSTM(1024,1024) over a keypoint sequence; relu FC->1 per step; the
+    LAST step's logit is the output (reference models/networks/__init__.py:
+    132-138 — the per-step FC is computed for all steps but only the last is
+    used; we apply the head to the last step only, which is equivalent and
+    cheaper). NOTE the relu on the logit is a faithful reference quirk."""
+
+    cell_info: Sequence[int] = (1024, 1024)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, seq: jax.Array) -> jax.Array:
+        outs = StackedLSTM(tuple(self.cell_info), dtype=self.dtype)(seq)
+        return Dense(1, relu=True, dtype=self.dtype)(outs[:, -1, :])

@@ -1,0 +1,15 @@
+from .mesh import make_mesh
+from .sharding import (
+    batch_sharding,
+    param_sharding_rules,
+    shard_batch,
+    shard_state,
+)
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "param_sharding_rules",
+    "shard_batch",
+    "shard_state",
+]

@@ -1,0 +1,62 @@
+"""Sharding rules: how batches, params, and train state lay out on a mesh.
+
+Recipe (scaling-book style): annotate the INPUTS with NamedShardings and
+let XLA insert the collectives —
+- batches: leading axis over 'data' -> per-device microbatches; the grads
+  of replicated params come back via an ICI all-reduce XLA inserts,
+- params: replicated by default; kernels whose LAST dim is wide and
+  divisible by the 'model' axis shard over 'model' (tensor parallelism for
+  the stage-2 LSTM gate matmuls [D+H, 4H] and wide conv channels); XLA
+  all-gathers activations where needed,
+- optimizer state mirrors its param's sharding (same tree structure).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def shard_batch(mesh: Mesh, batch: Any) -> Any:
+    """Device-put a host batch with the leading axis sharded over 'data'."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def _leaf_spec(leaf, model_size: int, min_shard_dim: int) -> P:
+    shape = getattr(leaf, "shape", ())
+    if (
+        model_size > 1
+        and len(shape) >= 1
+        and shape[-1] >= min_shard_dim
+        and shape[-1] % model_size == 0
+    ):
+        return P(*([None] * (len(shape) - 1) + ["model"]))
+    return P()
+
+
+def param_sharding_rules(
+    mesh: Mesh, params: Any, min_shard_dim: int = 1024
+) -> Any:
+    """PartitionSpec tree: wide output dims shard over 'model', everything
+    else replicated. min_shard_dim keeps small tensors replicated (a 40-ch
+    conv gains nothing from TP)."""
+    model_size = mesh.shape["model"]
+    return jax.tree.map(lambda l: _leaf_spec(l, model_size, min_shard_dim), params)
+
+
+def shard_state(mesh: Mesh, state: Any, min_shard_dim: int = 1024) -> Any:
+    """Device-put a GANTrainState (or any pytree) with param sharding rules
+    applied leaf-wise; scalars/stats replicate."""
+    specs = param_sharding_rules(mesh, state, min_shard_dim)
+    return jax.tree.map(
+        lambda leaf, spec: jax.device_put(leaf, NamedSharding(mesh, spec)),
+        state,
+        specs,
+    )

@@ -1,0 +1,216 @@
+"""Stage-1 trainer: detector + translator with VGG-perceptual + GAN losses.
+
+Counterpart of reference models/detector_translator_model.py. TPU-first
+differences:
+
+- ONE jitted step performs both the D and G updates ('fused' mode): the
+  generator forward runs once under value_and_grad; the discriminator sees
+  the same batch. The reference instead issues two sess.runs that each pull
+  a fresh batch (quirk Q2; reference detector_translator_model.py:92-94) —
+  'two_batch' mode reproduces that: the step takes two batches, updates D
+  on batch one (with a no-grad G forward), then G on batch two against the
+  updated D.
+- BN statistics update only in the G gradient pass, mirroring the
+  reference's UPDATE_OPS placement on the G op only
+  (detector_translator_model.py:199-202).
+- real+fake go through the PatchGAN as one 2B batch (no BN in D, so this
+  is exact) instead of two separate calls.
+- everything is donate-able pure state-in/state-out; sharding is applied by
+  the caller (parallel/).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..configs import Config
+from ..losses import (
+    discriminator_loss,
+    generator_adv_loss,
+    perceptual_loss,
+)
+from ..models import ImageDiscriminator, Stage1Generator
+from .state import GANTrainState, make_lr_schedule, make_optimizer
+
+
+def _to_0_255(x: jax.Array) -> jax.Array:
+    # reference computes the perceptual loss on [0,255] images (quirk Q7;
+    # detector_translator_model.py:262-263)
+    return (x + 1.0) * 127.5
+
+
+class Stage1Trainer:
+    """Owns the module definitions, optimizers, and pure step functions."""
+
+    def __init__(self, config: Config, vgg_params: dict):
+        self.config = config
+        m = config.model
+        self.dtype = (
+            jnp.bfloat16 if config.training.compute_dtype == "bfloat16" else jnp.float32
+        )
+        self.generator = Stage1Generator(
+            n_pts=m.n_pts,
+            heatmap_size=m.heatmap_size,
+            heatmap_inv_std=m.heatmap_inv_std,
+            dtype=self.dtype,
+        )
+        self.discriminator = ImageDiscriminator(dtype=self.dtype)
+        self.vgg_params = jax.tree.map(jnp.asarray, vgg_params)
+        self.g_opt = make_optimizer(config.training.lr)
+        self.d_opt = make_optimizer(config.training.lr)
+        self.lr_schedule = make_lr_schedule(config.training.lr)
+
+    # ---------------------------------------------------------------- init
+    def init_state(self, rng: jax.Array) -> GANTrainState:
+        s = self.config.model.image_size
+        dummy = jnp.zeros((1, s, s, 3), jnp.float32)
+        g_rng, d_rng = jax.random.split(rng)
+        # init under jit: ONE compiled program instead of hundreds of eager
+        # per-op compiles (order-of-magnitude faster cold start)
+        g_vars = jax.jit(lambda r: self.generator.init(r, dummy, dummy, train=True))(g_rng)
+        d_vars = jax.jit(lambda r: self.discriminator.init(r, dummy))(d_rng)
+        return GANTrainState(
+            step=jnp.zeros((), jnp.int32),
+            g_params=g_vars["params"],
+            d_params=d_vars["params"],
+            batch_stats=g_vars["batch_stats"],
+            g_opt_state=self.g_opt.init(g_vars["params"]),
+            d_opt_state=self.d_opt.init(d_vars["params"]),
+        )
+
+    # ------------------------------------------------------------- helpers
+    def _g_forward(self, g_params, batch_stats, im, future_im, train: bool):
+        variables = {"params": g_params, "batch_stats": batch_stats}
+        if train:
+            out, mutated = self.generator.apply(
+                variables, im, future_im, train=True, mutable=["batch_stats"]
+            )
+            return out, mutated["batch_stats"]
+        out = self.generator.apply(variables, im, future_im, train=False)
+        return out, batch_stats
+
+    def _d_logits(self, d_params, real, fake):
+        both = jnp.concatenate([real, fake], axis=0)
+        logits = self.discriminator.apply({"params": d_params}, both)
+        return jnp.split(logits, 2, axis=0)
+
+    def _d_update(self, state: GANTrainState, real, fake):
+        def d_loss_fn(d_params):
+            real_logit, fake_logit = self._d_logits(
+                d_params, real, jax.lax.stop_gradient(fake)
+            )
+            loss, d_real, d_fake = discriminator_loss(real_logit, fake_logit)
+            return loss, (d_real, d_fake)
+
+        (loss_d, (d_real, d_fake)), grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+            state.d_params
+        )
+        updates, d_opt_state = self.d_opt.update(grads, state.d_opt_state, state.d_params)
+        d_params = optax.apply_updates(state.d_params, updates)
+        return state.replace(d_params=d_params, d_opt_state=d_opt_state), {
+            "loss_D": loss_d,
+            "D_real": d_real,
+            "D_fake": d_fake,
+        }
+
+    def _g_update(self, state: GANTrainState, im, future_im):
+        def g_loss_fn(g_params):
+            out, new_stats = self._g_forward(
+                g_params, state.batch_stats, im, future_im, train=True
+            )
+            fake = out["final"]
+            fake_logit = self.discriminator.apply({"params": state.d_params}, fake)
+            recon = perceptual_loss(
+                self.vgg_params, _to_0_255(future_im), _to_0_255(fake), dtype=self.dtype
+            )
+            adv = generator_adv_loss(fake_logit)
+            return recon + adv, (fake, new_stats, recon, adv)
+
+        (loss_g, (fake, new_stats, recon, adv)), grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True
+        )(state.g_params)
+        updates, g_opt_state = self.g_opt.update(grads, state.g_opt_state, state.g_params)
+        g_params = optax.apply_updates(state.g_params, updates)
+        state = state.replace(
+            g_params=g_params,
+            g_opt_state=g_opt_state,
+            batch_stats=new_stats,
+        )
+        return state, fake, {"loss_G": loss_g, "reconstruction_metric": recon, "G_adv_loss": adv}
+
+    # ---------------------------------------------------------- train steps
+    def train_step(self, state: GANTrainState, batch: dict) -> tuple[GANTrainState, dict]:
+        """Fused D+G update on one batch (gan_step_mode='fused')."""
+        im, future_im = batch["image"], batch["future_image"]
+        state, fake, g_metrics = self._g_update(state, im, future_im)
+        state, d_metrics = self._d_update(state, future_im, fake)
+        state = state.replace(step=state.step + 1)
+        metrics = {**d_metrics, **g_metrics, "lr": self.lr_schedule(state.step)}
+        return state, metrics
+
+    def train_step_two_batch(
+        self, state: GANTrainState, batch_d: dict, batch_g: dict
+    ) -> tuple[GANTrainState, dict]:
+        """Reference-faithful two-batch semantics (quirk Q2): D sees batch_d
+        with a no-grad G forward; G then trains on batch_g against the
+        updated D."""
+        out_d, _ = self._g_forward(
+            state.g_params, state.batch_stats, batch_d["image"], batch_d["future_image"], True
+        )
+        state, d_metrics = self._d_update(state, batch_d["future_image"], out_d["final"])
+        state, _, g_metrics = self._g_update(state, batch_g["image"], batch_g["future_image"])
+        state = state.replace(step=state.step + 1)
+        metrics = {**d_metrics, **g_metrics, "lr": self.lr_schedule(state.step)}
+        return state, metrics
+
+    # ----------------------------------------------------------- evaluation
+    def eval_step(self, state: GANTrainState, batch: dict) -> dict:
+        """Losses + fidelity metrics on a test batch (BN in inference mode —
+        a deliberate fix of reference quirk Q5, which ran its in-training
+        test sweeps with train-mode BN)."""
+        im, future_im = batch["image"], batch["future_image"]
+        out, _ = self._g_forward(state.g_params, state.batch_stats, im, future_im, False)
+        fake = out["final"]
+        real_logit, fake_logit = self._d_logits(state.d_params, future_im, fake)
+        loss_d, d_real, d_fake = discriminator_loss(real_logit, fake_logit)
+        recon = perceptual_loss(
+            self.vgg_params, _to_0_255(future_im), _to_0_255(fake), dtype=self.dtype
+        )
+        adv = generator_adv_loss(fake_logit)
+        mse = jnp.mean(jnp.square(jnp.clip(fake, -1, 1) - future_im))
+        psnr = 10.0 * jnp.log10(4.0 / jnp.maximum(mse, 1e-10))
+        return {
+            "loss_D": loss_d,
+            "D_real": d_real,
+            "D_fake": d_fake,
+            "loss_G": recon + adv,
+            "reconstruction_metric": recon,
+            "G_adv_loss": adv,
+            "psnr": psnr,
+        }
+
+    # ------------------------------------------------------------ jit entry
+    @functools.cached_property
+    def jitted_train_step(self):
+        return jax.jit(self.train_step, donate_argnums=(0,))
+
+    @functools.cached_property
+    def jitted_train_step_two_batch(self):
+        return jax.jit(self.train_step_two_batch, donate_argnums=(0,))
+
+    @functools.cached_property
+    def jitted_eval_step(self):
+        return jax.jit(self.eval_step)
+
+    def visualize(self, state: GANTrainState, batch: dict) -> dict[str, Any]:
+        """Forward pass returning image tensors for summaries (counterpart
+        of reference _define_summary image grids)."""
+        out, _ = self._g_forward(
+            state.g_params, state.batch_stats, batch["image"], batch["future_image"], False
+        )
+        return out

@@ -1,0 +1,206 @@
+"""Stage-2 trainer: class-conditional VAE-GAN over keypoint sequences.
+
+Counterpart of reference models/motion_generator_model.py. Same fused /
+two-batch GAN step semantics as stage-1 (see train/stage1.py docstring);
+losses are recon (1000x L1) + KL (raw-relu-sigma convention) + adv BCE
+(reference motion_generator_model.py:277-308). No BN anywhere in stage 2,
+so batch_stats stays an empty dict.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..configs import Config
+from ..losses import (
+    discriminator_loss,
+    generator_adv_loss,
+    kl_raw_sigma,
+    seq_recon_loss,
+)
+from ..models import MotionGenerator, SeqDiscriminator
+from .state import GANTrainState, make_lr_schedule, make_optimizer
+
+
+class Stage2Trainer:
+    def __init__(self, config: Config):
+        self.config = config
+        m = config.model
+        self.dtype = (
+            jnp.bfloat16 if config.training.compute_dtype == "bfloat16" else jnp.float32
+        )
+        self.n_pts = m.n_pts
+        self.vae_dim = m.vae_dim
+        self.n_future = m.n_future_frames
+        self.generator = MotionGenerator(
+            n_pts=m.n_pts,
+            n_future=m.n_future_frames,
+            cell_info=tuple(m.cell_info),
+            vae_dim=m.vae_dim,
+            dtype=self.dtype,
+        )
+        self.discriminator = SeqDiscriminator(
+            cell_info=tuple(m.cell_info), dtype=self.dtype
+        )
+        self.g_opt = make_optimizer(config.training.lr)
+        self.d_opt = make_optimizer(config.training.lr)
+        self.lr_schedule = make_lr_schedule(config.training.lr)
+
+    # ---------------------------------------------------------------- init
+    def init_state(self, rng: jax.Array) -> GANTrainState:
+        b, t, k = 1, self.n_future, self.n_pts
+        g_rng, d_rng = jax.random.split(rng)
+        # init under jit (see stage1.init_state)
+        g_vars = jax.jit(
+            lambda r: self.generator.init(
+                r,
+                jnp.zeros((b, t, 2 * k)),
+                jnp.zeros((b, 2 * k)),
+                jnp.zeros((b, self.config.model.n_action)),
+                jnp.zeros((b, self.vae_dim)),
+            )
+        )(g_rng)
+        d_vars = jax.jit(
+            lambda r: self.discriminator.init(r, jnp.zeros((b, t, 2 * k)))
+        )(d_rng)
+        return GANTrainState(
+            step=jnp.zeros((), jnp.int32),
+            g_params=g_vars["params"],
+            d_params=d_vars["params"],
+            batch_stats={},
+            g_opt_state=self.g_opt.init(g_vars["params"]),
+            d_opt_state=self.d_opt.init(d_vars["params"]),
+        )
+
+    # ------------------------------------------------------------- helpers
+    @staticmethod
+    def _flatten_batch(batch: dict):
+        """keypoints [B,K,2]->first_pt [B,2K]; real_seq [B,T,K,2]->[B,T,2K].
+
+        Flattening matches the reference's reshape convention
+        (motion_generator_model.py:166-170): last axis is
+        (x0,y0,x1,y1,...)."""
+        kp = batch["keypoints"]
+        b = kp.shape[0]
+        first_pt = kp.reshape(b, -1)
+        real_seq = batch["real_seq"].reshape(b, batch["real_seq"].shape[1], -1)
+        return first_pt, real_seq, batch["action_code"]
+
+    def _d_update(self, state: GANTrainState, real_seq, pred_seq):
+        def d_loss_fn(d_params):
+            both = jnp.concatenate([real_seq, jax.lax.stop_gradient(pred_seq)], axis=0)
+            logits = self.discriminator.apply({"params": d_params}, both)
+            real_logit, fake_logit = jnp.split(logits, 2, axis=0)
+            loss, d_real, d_fake = discriminator_loss(real_logit, fake_logit)
+            return loss, (d_real, d_fake)
+
+        (loss_d, (d_real, d_fake)), grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+            state.d_params
+        )
+        updates, d_opt_state = self.d_opt.update(grads, state.d_opt_state, state.d_params)
+        d_params = optax.apply_updates(state.d_params, updates)
+        return state.replace(d_params=d_params, d_opt_state=d_opt_state), {
+            "loss_D": loss_d,
+            "D_real": d_real,
+            "D_fake": d_fake,
+        }
+
+    def _g_update(self, state: GANTrainState, first_pt, real_seq, act, noise):
+        def g_loss_fn(g_params):
+            pred_seq, mu, stddev = self.generator.apply(
+                {"params": g_params}, real_seq, first_pt, act, noise
+            )
+            fake_logit = self.discriminator.apply({"params": state.d_params}, pred_seq)
+            recon = seq_recon_loss(pred_seq, real_seq)
+            kl = kl_raw_sigma(mu, stddev)
+            adv = generator_adv_loss(fake_logit)
+            return kl + recon + adv, (pred_seq, recon, kl, adv)
+
+        (loss_g, (pred_seq, recon, kl, adv)), grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True
+        )(state.g_params)
+        updates, g_opt_state = self.g_opt.update(grads, state.g_opt_state, state.g_params)
+        g_params = optax.apply_updates(state.g_params, updates)
+        state = state.replace(g_params=g_params, g_opt_state=g_opt_state)
+        return state, pred_seq, {
+            "loss_G": loss_g,
+            "recon_loss": recon,
+            "kl_loss": kl,
+            "G_adv_loss": adv,
+        }
+
+    # ---------------------------------------------------------- train steps
+    def train_step(
+        self, state: GANTrainState, batch: dict, rng: jax.Array
+    ) -> tuple[GANTrainState, dict]:
+        first_pt, real_seq, act = self._flatten_batch(batch)
+        noise = jax.random.normal(rng, (first_pt.shape[0], self.vae_dim), jnp.float32)
+        state, pred_seq, g_metrics = self._g_update(state, first_pt, real_seq, act, noise)
+        state, d_metrics = self._d_update(state, real_seq, pred_seq)
+        state = state.replace(step=state.step + 1)
+        return state, {**d_metrics, **g_metrics, "lr": self.lr_schedule(state.step)}
+
+    def train_step_two_batch(
+        self, state: GANTrainState, batch_d: dict, batch_g: dict, rng: jax.Array
+    ) -> tuple[GANTrainState, dict]:
+        rng_d, rng_g = jax.random.split(rng)
+        first_d, real_d, act_d = self._flatten_batch(batch_d)
+        noise_d = jax.random.normal(rng_d, (first_d.shape[0], self.vae_dim), jnp.float32)
+        pred_d, _, _ = self.generator.apply(
+            {"params": state.g_params}, real_d, first_d, act_d, noise_d
+        )
+        state, d_metrics = self._d_update(state, real_d, pred_d)
+        first_g, real_g, act_g = self._flatten_batch(batch_g)
+        noise_g = jax.random.normal(rng_g, (first_g.shape[0], self.vae_dim), jnp.float32)
+        state, _, g_metrics = self._g_update(state, first_g, real_g, act_g, noise_g)
+        state = state.replace(step=state.step + 1)
+        return state, {**d_metrics, **g_metrics, "lr": self.lr_schedule(state.step)}
+
+    # ----------------------------------------------------------- evaluation
+    def eval_step(self, state: GANTrainState, batch: dict, rng: jax.Array) -> dict:
+        first_pt, real_seq, act = self._flatten_batch(batch)
+        noise = jax.random.normal(rng, (first_pt.shape[0], self.vae_dim), jnp.float32)
+        pred_seq, mu, stddev = self.generator.apply(
+            {"params": state.g_params}, real_seq, first_pt, act, noise
+        )
+        both = jnp.concatenate([real_seq, pred_seq], axis=0)
+        logits = self.discriminator.apply({"params": state.d_params}, both)
+        real_logit, fake_logit = jnp.split(logits, 2, axis=0)
+        loss_d, d_real, d_fake = discriminator_loss(real_logit, fake_logit)
+        recon = seq_recon_loss(pred_seq, real_seq)
+        kl = kl_raw_sigma(mu, stddev)
+        adv = generator_adv_loss(fake_logit)
+        return {
+            "loss_D": loss_d,
+            "D_real": d_real,
+            "D_fake": d_fake,
+            "loss_G": kl + recon + adv,
+            "recon_loss": recon,
+            "kl_loss": kl,
+            "G_adv_loss": adv,
+        }
+
+    def sample(self, state: GANTrainState, first_pt, act, rng) -> jax.Array:
+        """Inference: z ~ N(0,1) -> decode T future keypoint frames
+        (reference motion_generator_model.py:182-190 eval branch)."""
+        z = jax.random.normal(rng, (first_pt.shape[0], self.vae_dim), jnp.float32)
+        return self.generator.apply(
+            {"params": state.g_params}, z, first_pt, act, method=self.generator.decode
+        )
+
+    # ------------------------------------------------------------ jit entry
+    @functools.cached_property
+    def jitted_train_step(self):
+        return jax.jit(self.train_step, donate_argnums=(0,))
+
+    @functools.cached_property
+    def jitted_train_step_two_batch(self):
+        return jax.jit(self.train_step_two_batch, donate_argnums=(0,))
+
+    @functools.cached_property
+    def jitted_eval_step(self):
+        return jax.jit(self.eval_step)

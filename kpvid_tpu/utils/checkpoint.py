@@ -1,0 +1,127 @@
+"""Pytree checkpointing with name-filtered merge restore.
+
+The reference saves every TF global variable each 20k steps with unlimited
+retention (reference models/base_model.py:62-81) and restores by *name
+intersection* between the live graph and the checkpoint
+(base_model.py:83-92) — the semantic that lets evaluate.py stack the
+stage-1 and stage-2 checkpoints into one graph (evaluate.py:76-77).
+
+TPU-native equivalent: Orbax pytree checkpoints, and `merge_restore` which
+grafts every leaf of a restored tree whose PATH exists in the target tree
+(leaving the rest of the target untouched) — the same composition
+behavior, path-based instead of TF-scope-name-based.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+_STEP_RE = re.compile(r"ckpt-(\d+)$")
+
+
+def _checkpointer() -> ocp.StandardCheckpointer:
+    return ocp.StandardCheckpointer()
+
+
+def save_checkpoint(
+    log_dir: str | Path,
+    name: str,
+    step: int,
+    state: Any,
+    keep: int | None = None,
+) -> Path:
+    """Save `state` under {log_dir}/{name}/ckpt-{step} (mirrors the
+    reference layout {log_dir}/{name}/model.ckpt-{step}). `keep=None`
+    retains everything, like the reference's max_to_keep=None."""
+    root = Path(log_dir).resolve() / name
+    root.mkdir(parents=True, exist_ok=True)
+    path = root / f"ckpt-{step}"
+    # host-side numpy copy: donate-safe and device-agnostic
+    host_state = jax.tree.map(np.asarray, state)
+    ck = _checkpointer()
+    ck.save(path, host_state, force=True)
+    ck.wait_until_finished()
+    if keep is not None:
+        steps = sorted(list_checkpoint_steps(root))
+        for old in steps[:-keep]:
+            import shutil
+
+            shutil.rmtree(root / f"ckpt-{old}", ignore_errors=True)
+    return path
+
+
+def list_checkpoint_steps(ckpt_dir: str | Path) -> list[int]:
+    root = Path(ckpt_dir)
+    if not root.exists():
+        return []
+    steps = []
+    for p in root.iterdir():
+        m = _STEP_RE.search(p.name)
+        if m and p.is_dir():
+            steps.append(int(m.group(1)))
+    return sorted(steps)
+
+
+def latest_checkpoint(ckpt_dir: str | Path) -> Path | None:
+    steps = list_checkpoint_steps(ckpt_dir)
+    if not steps:
+        return None
+    return Path(ckpt_dir) / f"ckpt-{steps[-1]}"
+
+
+def restore_checkpoint(path: str | Path) -> Any:
+    """Restore the raw saved pytree (numpy leaves)."""
+    ck = _checkpointer()
+    return ck.restore(Path(path).resolve())
+
+
+def _key_name(k) -> str:
+    """Normalize path entries so dataclass attrs, dict keys, and sequence
+    indices compare equal across tree types (a restored checkpoint is plain
+    dicts/lists; the live state may be flax.struct dataclasses)."""
+    if hasattr(k, "name"):  # GetAttrKey
+        return str(k.name)
+    if hasattr(k, "key"):  # DictKey
+        return str(k.key)
+    if hasattr(k, "idx"):  # SequenceKey
+        return str(k.idx)
+    return str(k)
+
+
+def _flatten_with_paths(tree: Any) -> dict[tuple, Any]:
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    return {tuple(_key_name(k) for k in path): leaf for path, leaf in flat}
+
+
+def merge_restore(target: Any, restored: Any, strict_shapes: bool = True) -> tuple[Any, int]:
+    """Graft every restored leaf whose path exists in `target` (the
+    name-intersection partial-restore semantic). Returns (merged, n_merged).
+    """
+    restored_flat = _flatten_with_paths(restored)
+    target_flat, treedef = jax.tree_util.tree_flatten_with_path(target)
+    merged_leaves = []
+    n_merged = 0
+    for path, leaf in target_flat:
+        key = tuple(_key_name(k) for k in path)
+        if key in restored_flat:
+            new = restored_flat[key]
+            if strict_shapes and hasattr(leaf, "shape") and tuple(new.shape) != tuple(
+                leaf.shape
+            ):
+                raise ValueError(
+                    f"shape mismatch at {'/'.join(key)}: "
+                    f"checkpoint {new.shape} vs target {leaf.shape}"
+                )
+            merged_leaves.append(
+                jax.numpy.asarray(new, dtype=leaf.dtype if hasattr(leaf, "dtype") else None)
+            )
+            n_merged += 1
+        else:
+            merged_leaves.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, merged_leaves), n_merged

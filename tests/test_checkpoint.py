@@ -1,0 +1,98 @@
+"""Checkpoint round-trip + name-filtered merge restore (the two-checkpoint
+composition semantic of reference base_model.py:83-92 / evaluate.py:76-77)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from kpvid_tpu.utils.checkpoint import (
+    latest_checkpoint,
+    list_checkpoint_steps,
+    merge_restore,
+    restore_checkpoint,
+    save_checkpoint,
+)
+
+
+def test_roundtrip(tmp_path):
+    state = {"params": {"w": jnp.arange(6.0).reshape(2, 3)}, "step": jnp.asarray(7)}
+    save_checkpoint(tmp_path, "stage1", 7, state)
+    out = restore_checkpoint(latest_checkpoint(tmp_path / "stage1"))
+    np.testing.assert_array_equal(out["params"]["w"], np.arange(6.0).reshape(2, 3))
+    assert int(out["step"]) == 7
+
+
+def test_latest_and_retention(tmp_path):
+    state = {"x": jnp.zeros(2)}
+    for step in (10, 20, 30):
+        save_checkpoint(tmp_path, "m", step, state, keep=2)
+    assert list_checkpoint_steps(tmp_path / "m") == [20, 30]
+    assert latest_checkpoint(tmp_path / "m").name == "ckpt-30"
+
+
+def test_merge_restore_two_checkpoints(tmp_path):
+    """Stage-1 and stage-2 checkpoints graft into one composite tree by
+    path intersection, untouched leaves intact."""
+    stage1 = {"pose_encoder": {"w": jnp.ones(3)}, "translator": {"w": jnp.full(2, 2.0)}}
+    stage2 = {"vae_decoder": {"k": jnp.full(4, 3.0)}}
+    save_checkpoint(tmp_path, "s1", 1, stage1)
+    save_checkpoint(tmp_path, "s2", 1, stage2)
+
+    target = {
+        "pose_encoder": {"w": jnp.zeros(3)},
+        "translator": {"w": jnp.zeros(2)},
+        "vae_decoder": {"k": jnp.zeros(4)},
+        "never_in_ckpt": jnp.full(1, 9.0),
+    }
+    r1 = restore_checkpoint(latest_checkpoint(tmp_path / "s1"))
+    merged, n1 = merge_restore(target, r1)
+    r2 = restore_checkpoint(latest_checkpoint(tmp_path / "s2"))
+    merged, n2 = merge_restore(merged, r2)
+    assert (n1, n2) == (2, 1)
+    np.testing.assert_array_equal(merged["pose_encoder"]["w"], np.ones(3))
+    np.testing.assert_array_equal(merged["translator"]["w"], np.full(2, 2.0))
+    np.testing.assert_array_equal(merged["vae_decoder"]["k"], np.full(4, 3.0))
+    np.testing.assert_array_equal(merged["never_in_ckpt"], np.full(1, 9.0))
+
+
+def test_merge_restore_shape_mismatch_raises(tmp_path):
+    save_checkpoint(tmp_path, "s", 1, {"a": jnp.zeros((2, 2))})
+    restored = restore_checkpoint(latest_checkpoint(tmp_path / "s"))
+    try:
+        merge_restore({"a": jnp.zeros((3, 3))}, restored)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "shape mismatch" in str(e)
+
+
+def test_full_train_state_resume_roundtrip(tmp_path):
+    """A real GANTrainState (flax struct + optax adam states) survives
+    save -> restore -> merge with EVERY leaf matched (regression: attr-key
+    vs dict-key path stringification once made this silently match 0)."""
+    import jax
+    import optax
+
+    from kpvid_tpu.train.state import GANTrainState, make_optimizer
+    from kpvid_tpu.configs import LRConfig
+
+    params = {"dense": {"kernel": jnp.ones((3, 4)), "bias": jnp.zeros(4)}}
+    d_params = {"logit": {"kernel": jnp.full((2, 1), 0.5)}}
+    opt = make_optimizer(LRConfig())
+    state = GANTrainState(
+        step=jnp.asarray(11),
+        g_params=params,
+        d_params=d_params,
+        batch_stats={"bn": {"mean": jnp.zeros(4)}},
+        g_opt_state=opt.init(params),
+        d_opt_state=opt.init(d_params),
+    )
+    n_leaves = len(jax.tree.leaves(state))
+    save_checkpoint(tmp_path, "full", 11, state)
+    restored = restore_checkpoint(latest_checkpoint(tmp_path / "full"))
+    fresh = jax.tree.map(jnp.zeros_like, state)
+    merged, n = merge_restore(fresh, restored)
+    assert n == n_leaves, f"matched {n} of {n_leaves} leaves"
+    assert int(merged.step) == 11
+    np.testing.assert_array_equal(merged.g_params["dense"]["kernel"], np.ones((3, 4)))
+    chex = merged.g_opt_state
+    assert len(jax.tree.leaves(chex)) == len(jax.tree.leaves(opt.init(params)))

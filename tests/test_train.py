@@ -1,0 +1,133 @@
+"""End-to-end train-step tests on tiny configs (CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from kpvid_tpu.configs import Config, ModelConfig, TrainingConfig
+from kpvid_tpu.losses import synthesize_vgg19_params
+from kpvid_tpu.train.stage1 import Stage1Trainer
+from kpvid_tpu.train.stage2 import Stage2Trainer
+
+
+def tiny_config(**model_kw) -> Config:
+    model = ModelConfig(
+        n_pts=6,
+        n_action=4,
+        cell_info=(32, 32),
+        vae_dim=8,
+        image_size=32,
+        heatmap_size=8,
+        n_future_frames=8,
+        **model_kw,
+    )
+    training = TrainingConfig(batch_size=2, compute_dtype="float32")
+    return Config(model=model, training=training).validate()
+
+
+def _tree_l2_diff(a, b):
+    return sum(
+        float(jnp.sum(jnp.square(x - y))) for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
+    )
+
+
+@pytest.fixture(scope="module")
+def s1():
+    cfg = tiny_config()
+    trainer = Stage1Trainer(cfg, synthesize_vgg19_params())
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    return trainer, state
+
+
+@pytest.fixture(scope="module")
+def batch(rng_mod=np.random.default_rng(1)):
+    return {
+        "image": jnp.asarray(rng_mod.uniform(-1, 1, (2, 32, 32, 3)), jnp.float32),
+        "future_image": jnp.asarray(rng_mod.uniform(-1, 1, (2, 32, 32, 3)), jnp.float32),
+    }
+
+
+class TestStage1:
+    def test_fused_step_updates_everything(self, s1, batch):
+        trainer, state = s1
+        new_state, metrics = trainer.jitted_train_step(
+            jax.tree.map(jnp.copy, state), batch
+        )
+        for k in ("loss_D", "loss_G", "reconstruction_metric", "G_adv_loss", "lr"):
+            assert np.isfinite(float(metrics[k])), k
+        assert int(new_state.step) == 1
+        assert _tree_l2_diff(new_state.g_params, state.g_params) > 0
+        assert _tree_l2_diff(new_state.d_params, state.d_params) > 0
+        # BN stats updated in the G pass
+        assert _tree_l2_diff(new_state.batch_stats, state.batch_stats) > 0
+
+    def test_two_batch_mode(self, s1, batch):
+        trainer, state = s1
+        new_state, metrics = trainer.jitted_train_step_two_batch(
+            jax.tree.map(jnp.copy, state), batch, batch
+        )
+        assert int(new_state.step) == 1
+        assert np.isfinite(float(metrics["loss_G"]))
+
+    def test_eval_step(self, s1, batch):
+        trainer, state = s1
+        metrics = trainer.jitted_eval_step(state, batch)
+        assert np.isfinite(float(metrics["psnr"]))
+        assert float(metrics["reconstruction_metric"]) > 0
+
+    def test_lr_schedule_parity(self, s1):
+        """lr = start * decay^(step/N), continuous (reference
+        tf.train.exponential_decay staircase=False)."""
+        trainer, _ = s1
+        lr_cfg = trainer.config.training.lr
+        for step in (0, 10_000, 20_000, 50_000):
+            expect = lr_cfg.start_val * lr_cfg.decay ** (step / lr_cfg.step)
+            assert float(trainer.lr_schedule(step)) == pytest.approx(expect, rel=1e-5)
+
+
+class TestStage2:
+    @pytest.fixture(scope="class")
+    def s2(self):
+        cfg = tiny_config()
+        trainer = Stage2Trainer(cfg)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        return trainer, state
+
+    @pytest.fixture(scope="class")
+    def seq_batch(self):
+        rng = np.random.default_rng(2)
+        return {
+            "image": jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)), jnp.float32),
+            "keypoints": jnp.asarray(rng.uniform(-1, 1, (2, 6, 2)), jnp.float32),
+            "real_seq": jnp.asarray(rng.uniform(-1, 1, (2, 8, 6, 2)), jnp.float32),
+            "action_code": jax.nn.one_hot(jnp.asarray([0, 3]), 4),
+        }
+
+    def test_fused_step(self, s2, seq_batch):
+        trainer, state = s2
+        new_state, metrics = trainer.jitted_train_step(
+            jax.tree.map(jnp.copy, state), seq_batch, jax.random.PRNGKey(1)
+        )
+        for k in ("loss_D", "loss_G", "recon_loss", "kl_loss", "G_adv_loss"):
+            assert np.isfinite(float(metrics[k])), k
+        assert _tree_l2_diff(new_state.g_params, state.g_params) > 0
+        assert _tree_l2_diff(new_state.d_params, state.d_params) > 0
+
+    def test_eval_and_sample(self, s2, seq_batch):
+        trainer, state = s2
+        metrics = trainer.jitted_eval_step(state, seq_batch, jax.random.PRNGKey(2))
+        assert np.isfinite(float(metrics["loss_G"]))
+        first_pt = seq_batch["keypoints"].reshape(2, -1)
+        pred = trainer.sample(state, first_pt, seq_batch["action_code"], jax.random.PRNGKey(3))
+        assert pred.shape == (2, 8, 12)
+        assert np.all(np.abs(np.asarray(pred)) < 1.0)
+
+    def test_two_batch_step(self, s2, seq_batch):
+        trainer, state = s2
+        new_state, metrics = trainer.jitted_train_step_two_batch(
+            jax.tree.map(jnp.copy, state), seq_batch, seq_batch, jax.random.PRNGKey(4)
+        )
+        assert int(new_state.step) == 1
+        assert np.isfinite(float(metrics["loss_G"]))
