@@ -37,6 +37,10 @@ def main():
     parser.add_argument("--synthetic", action="store_true", help="use synthetic data")
     parser.add_argument("--max-steps", type=int, default=None)
     parser.add_argument("--tensorboard", action="store_true")
+    parser.add_argument("--profile-dir", type=str, default=None,
+                        help="capture a jax.profiler trace of steps 10-14 here")
+    parser.add_argument("--no-images", action="store_true",
+                        help="skip image summaries at summary_interval")
     args = parser.parse_args()
 
     from kpvid_tpu.utils.cache import enable_compilation_cache
@@ -140,24 +144,35 @@ def main():
     def next_batch():
         return {k: np.asarray(v) for k, v in next(train_iter).items()}
 
+    from kpvid_tpu.utils import get_n_colors
+
+    colors = get_n_colors(m_cfg.n_pts)
     last_d = last_g = float("nan")
+    batch = None
     for step in range(start_step, n_steps):
+        if args.profile_dir:
+            if step == start_step + 10:
+                jax.profiler.start_trace(args.profile_dir)
+            elif step == start_step + 15:
+                jax.profiler.stop_trace()
+                logger.info("profiler trace written to %s", args.profile_dir)
         rng, step_rng = jax.random.split(rng)
         t0 = time.perf_counter()
+        batch = next_batch()
         if args.mode == "detector_translator":
             if two_batch:
                 state, metrics = trainer.jitted_train_step_two_batch(
-                    state, next_batch(), next_batch()
+                    state, batch, next_batch()
                 )
             else:
-                state, metrics = trainer.jitted_train_step(state, next_batch())
+                state, metrics = trainer.jitted_train_step(state, batch)
         else:
             if two_batch:
                 state, metrics = trainer.jitted_train_step_two_batch(
-                    state, next_batch(), next_batch(), step_rng
+                    state, batch, next_batch(), step_rng
                 )
             else:
-                state, metrics = trainer.jitted_train_step(state, next_batch(), step_rng)
+                state, metrics = trainer.jitted_train_step(state, batch, step_rng)
         throughput.update(t_cfg.batch_size)
 
         if step % t_cfg.log_interval == 0:
@@ -171,6 +186,18 @@ def main():
 
         if step % t_cfg.summary_interval == 0:
             metric_logger.log_metrics("train", step, metrics)
+            if not args.no_images:
+                from kpvid_tpu.eval.visualize import (
+                    stage1_summary_images,
+                    stage2_summary_images,
+                )
+
+                if args.mode == "detector_translator":
+                    images = stage1_summary_images(trainer, state, batch, colors)
+                else:
+                    rng, viz_rng = jax.random.split(rng)
+                    images = stage2_summary_images(trainer, state, batch, colors, viz_rng)
+                metric_logger.log_images("train", step, images)
 
         if step % t_cfg.checkpoint_interval == 0 and step > start_step:
             save_checkpoint(
