@@ -1,0 +1,69 @@
+"""End-to-end FinalGenerator (fused inference graph) tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from kpvid_tpu.configs import Config, ModelConfig, TrainingConfig
+from kpvid_tpu.eval import FinalGenerator
+
+
+@pytest.fixture(scope="module")
+def final():
+    cfg = Config(
+        model=ModelConfig(
+            n_pts=4, n_action=5, cell_info=(16, 16), vae_dim=8,
+            image_size=32, heatmap_size=8, n_future_frames=6,
+        ),
+        training=TrainingConfig(batch_size=2, compute_dtype="float32"),
+    ).validate()
+    gen = FinalGenerator(cfg)
+    s1_vars, s2_vars = gen.init_variables(jax.random.PRNGKey(0))
+    return gen, s1_vars, s2_vars
+
+
+def test_generate_shapes_and_ranges(final, rng):
+    gen, s1_vars, s2_vars = final
+    b, t, s = 2, 6, 32
+    im = jnp.asarray(rng.uniform(-1, 1, (b, s, s, 3)), jnp.float32)
+    act = jax.nn.one_hot(jnp.asarray([0, 3]), 5)
+    out = gen.jitted_generate(s1_vars, s2_vars["params"], im, act, jax.random.PRNGKey(1))
+    assert out["pred_im_seq"].shape == (b, t, s, s, 3)
+    assert out["mask"].shape == (b, t, s, s, 1)
+    assert out["pred_im_crude"].shape == (b, t, s, s, 3)
+    assert out["current_points"].shape == (b, 4, 2)
+    assert out["future_points"].shape == (b, t, 4, 2)
+    pred = np.asarray(out["pred_im_seq"])
+    assert np.all(np.abs(pred) <= 1.0)  # clipped (reference final_model.py:98-99)
+    m = np.asarray(out["mask"])
+    assert np.all((m > 0) & (m < 1))
+
+
+def test_rng_controls_motion(final, rng):
+    """Different z -> different future keypoints; same z -> identical."""
+    gen, s1_vars, s2_vars = final
+    im = jnp.asarray(rng.uniform(-1, 1, (1, 32, 32, 3)), jnp.float32)
+    act = jax.nn.one_hot(jnp.asarray([1]), 5)
+    a = gen.jitted_generate(s1_vars, s2_vars["params"], im, act, jax.random.PRNGKey(7))
+    b = gen.jitted_generate(s1_vars, s2_vars["params"], im, act, jax.random.PRNGKey(8))
+    c = gen.jitted_generate(s1_vars, s2_vars["params"], im, act, jax.random.PRNGKey(7))
+    assert np.abs(np.asarray(a["future_points"]) - np.asarray(b["future_points"])).max() > 0
+    np.testing.assert_array_equal(
+        np.asarray(a["future_points"]), np.asarray(c["future_points"])
+    )
+    # current keypoints are deterministic in the image, independent of z
+    np.testing.assert_array_equal(
+        np.asarray(a["current_points"]), np.asarray(b["current_points"])
+    )
+
+
+def test_render_point_images(final):
+    gen, _, _ = final
+    from kpvid_tpu.utils import get_n_colors
+
+    mu = jnp.asarray([[[0.0, 0.0], [0.5, -0.5], [-0.5, 0.5], [0.9, 0.9]]], jnp.float32)
+    img = gen.render_point_images(mu, jnp.asarray(get_n_colors(4)))
+    assert img.shape == (1, 32, 32, 3)
+    assert float(img.max()) > 0.5  # peaks tinted
