@@ -24,6 +24,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 import numpy as np
+from flax import linen as flax_nn
 
 # (name, out_channels, followed_by_pool)
 VGG19_LAYOUT = (
@@ -92,23 +93,24 @@ def vgg19_features(
     for name, _, pool in VGG19_LAYOUT:
         k = jnp.asarray(params[name]["kernel"], dtype)
         bias = jnp.asarray(params[name]["bias"], dtype)
+        # output in the compute dtype (MXU accumulates f32 internally);
+        # requesting preferred_element_type=f32 here breaks the VJP, which
+        # would mix f32 cotangents with bf16 kernels in the transpose conv
         x = jax.lax.conv_general_dilated(
             x,
             k,
             window_strides=(1, 1),
             padding="SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
-        ).astype(dtype) + bias
+        ) + bias
         x = jax.nn.relu(x)
         if name in VGG_FEATURE_LAYERS:
             taps.append(x)
             if len(taps) == len(VGG_FEATURE_LAYERS):
                 break
         if pool:
-            x = jax.lax.reduce_window(
-                x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "SAME"
-            )
+            # flax max_pool: dtype-preserving and autodiff-friendly
+            x = flax_nn.max_pool(x, (2, 2), strides=(2, 2), padding="SAME")
     return taps
 
 

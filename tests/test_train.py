@@ -77,6 +77,20 @@ class TestStage1:
         assert np.isfinite(float(metrics["psnr"]))
         assert float(metrics["reconstruction_metric"]) > 0
 
+    def test_bf16_train_step(self, batch):
+        """The bf16 compute path must differentiate end-to-end (regression:
+        VGG max-pool init and conv preferred_element_type once broke its
+        VJP)."""
+        cfg = tiny_config()
+        cfg.training.compute_dtype = "bfloat16"
+        trainer = Stage1Trainer(cfg, synthesize_vgg19_params())
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        new_state, metrics = trainer.jitted_train_step(
+            jax.tree.map(jnp.copy, state), batch
+        )
+        assert np.isfinite(float(metrics["loss_G"]))
+        assert _tree_l2_diff(new_state.g_params, state.g_params) > 0
+
     def test_lr_schedule_parity(self, s1):
         """lr = start * decay^(step/N), continuous (reference
         tf.train.exponential_decay staircase=False)."""
