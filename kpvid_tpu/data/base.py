@@ -81,17 +81,33 @@ class HostDataPipeline:
 
     def samples(self) -> Iterator[dict[str, np.ndarray]]:
         """Yield individual samples, in deterministic sequence order."""
+        empty_exc, full_exc = queue.Empty, queue.Full
         in_q: queue.Queue = queue.Queue(maxsize=self.num_workers * 2)
         out_q: queue.Queue = queue.Queue(
             maxsize=self.prefetch * self.batch_size + self.num_workers
         )
         stop = threading.Event()
 
+        def _put(q, item) -> bool:
+            """Blocking put that aborts when the consumer goes away (keeps
+            every thread stoppable; the generator's finally only sets the
+            flag, so teardown is interpreter-shutdown-safe)."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except full_exc:
+                    continue
+            return False
+
         def worker():
-            while True:
-                item = in_q.get()
-                if item is _SENTINEL or stop.is_set():
-                    in_q.put(_SENTINEL)
+            while not stop.is_set():
+                try:
+                    item = in_q.get(timeout=0.1)
+                except empty_exc:
+                    continue
+                if item is _SENTINEL:
+                    _put(in_q, _SENTINEL)
                     return
                 seq, epoch, idx = item
                 rng = np.random.default_rng(
@@ -101,17 +117,16 @@ class HostDataPipeline:
                     result = self.dataset.sample(idx, rng)
                 except Exception as e:  # surfaced to the consumer
                     result = e
-                out_q.put((seq, result))
+                _put(out_q, (seq, result))
 
         def feeder():
             seq = 0
             for epoch, idx in self._index_stream():
-                if stop.is_set():
+                if not _put(in_q, (seq, epoch, idx)):
                     return
-                in_q.put((seq, epoch, idx))
                 seq += 1
-            in_q.put(_SENTINEL)
-            out_q.put((seq, _SENTINEL))  # end marker carries the total
+            _put(in_q, _SENTINEL)
+            _put(out_q, (seq, _SENTINEL))  # end marker carries the total
 
         threads = [
             threading.Thread(target=worker, daemon=True) for _ in range(self.num_workers)
@@ -137,13 +152,7 @@ class HostDataPipeline:
                     continue
                 pending[seq] = result
         finally:
-            stop.set()
-            # drain so workers blocked on put() can exit
-            try:
-                while True:
-                    out_q.get_nowait()
-            except queue.Empty:
-                pass
+            stop.set()  # all threads poll this flag; no draining needed
 
     def batches(self) -> Iterator[dict[str, np.ndarray]]:
         buf: list[dict] = []
@@ -154,3 +163,28 @@ class HostDataPipeline:
                 buf = []
         if buf and not self.drop_remainder:
             yield _stack(buf)
+
+
+def device_prefetch(batches: Iterator[dict], size: int = 2) -> Iterator[dict]:
+    """Move batches to the default device `size` steps ahead of the
+    consumer (the tf.data `prefetch(1)`-to-device equivalent; reference
+    data/base_dataloader.py:51-52). jax.device_put is async, so H2D
+    transfers overlap the running step."""
+    import collections
+
+    import jax
+
+    ahead: collections.deque = collections.deque()
+    it = iter(batches)
+    try:
+        for _ in range(size):
+            ahead.append(jax.device_put(next(it)))
+    except StopIteration:
+        pass
+    while ahead:
+        out = ahead.popleft()
+        try:
+            ahead.append(jax.device_put(next(it)))
+        except StopIteration:
+            pass
+        yield out

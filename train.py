@@ -139,10 +139,12 @@ def main():
     logger.info("training %s from step %d to %d on %s", args.mode, start_step, n_steps,
                 jax.devices()[0])
 
-    train_iter = train_pipe.batches()
+    from kpvid_tpu.data.base import device_prefetch
+
+    train_iter = device_prefetch(train_pipe.batches(), size=config.data.prefetch)
 
     def next_batch():
-        return {k: np.asarray(v) for k, v in next(train_iter).items()}
+        return next(train_iter)
 
     from kpvid_tpu.utils import get_n_colors
 
