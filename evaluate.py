@@ -45,6 +45,8 @@ def main():
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--batch_size", type=int, default=None)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--gif", action="store_true",
+                        help="additionally write pred.gif/real.gif per sample")
     args = parser.parse_args()
 
     import jax
@@ -132,8 +134,27 @@ def main():
             _save_seq(d / "mask", out_np["mask"][b], rescale=False)
             _save_seq(d / "crude", out_np["pred_im_crude"][b], rescale=True)
             _save_seq(d / "pred_points", fut_pts_img[b], rescale=False)
+            if args.gif:
+                _save_gif(d / "pred.gif", out_np["pred_im_seq"][b], rescale=True)
+                _save_gif(d / "real.gif", batch["real_im_seq"][b], rescale=True)
             sample_idx += 1
     logger.info("wrote %d samples to %s", sample_idx, args.save_dir)
+
+
+def _save_gif(file_path, seq: np.ndarray, rescale: bool, fps: int = 8):
+    """Animated GIF of a [T, H, W, 3] sequence (the reference README's
+    presentation format)."""
+    from PIL import Image
+
+    if rescale:
+        seq = 0.5 * (seq + 1.0)
+    frames = [
+        Image.fromarray((np.clip(f, 0.0, 1.0) * 255).astype(np.uint8)) for f in seq
+    ]
+    frames[0].save(
+        file_path, save_all=True, append_images=frames[1:],
+        duration=int(1000 / fps), loop=0,
+    )
 
 
 def _save_img(file_path, img: np.ndarray, rescale: bool):

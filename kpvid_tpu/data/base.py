@@ -49,7 +49,13 @@ class HostDataPipeline:
         prefetch: int = 2,
         seed: int = 0,
         drop_remainder: bool | None = None,
+        shard_id: int = 0,
+        num_shards: int = 1,
     ):
+        """shard_id/num_shards: per-host data sharding for multi-host DP —
+        every host draws the same seeded permutation and takes a strided
+        slice, so shards partition each epoch exactly (pass
+        jax.process_index()/jax.process_count())."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -57,15 +63,24 @@ class HostDataPipeline:
         self.num_workers = max(1, num_workers)
         self.prefetch = max(1, prefetch)
         self.seed = seed
+        if not 0 <= shard_id < num_shards:
+            raise ValueError(f"shard_id {shard_id} not in [0, {num_shards})")
+        self.shard_id = shard_id
+        self.num_shards = num_shards
         # training (repeat) wants static shapes -> drop remainder; eval
         # sweeps want every sample -> keep the ragged final batch
         self.drop_remainder = repeat if drop_remainder is None else drop_remainder
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = len(self._shard(np.arange(len(self.dataset))))
         if self.drop_remainder:
             return n // self.batch_size
         return -(-n // self.batch_size)
+
+    def _shard(self, idxs: np.ndarray) -> np.ndarray:
+        if self.num_shards == 1:
+            return idxs
+        return idxs[self.shard_id :: self.num_shards]
 
     def _index_stream(self) -> Iterator[tuple[int, int]]:
         epoch = 0
@@ -73,7 +88,7 @@ class HostDataPipeline:
         n = len(self.dataset)
         while True:
             idxs = order_rng.permutation(n) if self.shuffle else np.arange(n)
-            for i in idxs:
+            for i in self._shard(idxs):
                 yield epoch, int(i)
             epoch += 1
             if not self.repeat:

@@ -165,3 +165,33 @@ class TestPipeline:
         it = pipe.batches()
         got = [next(it) for _ in range(5)]  # > one epoch worth
         assert all(g["image"].shape == (2, 128, 128, 3) for g in got)
+
+
+class TestHostSharding:
+    def test_shards_partition_epoch(self, tree):
+        ds = ImagePairDataset(tree, "train", augment_samples=False, random_pairs=False)
+        # collect the (epoch, idx) streams of both shards
+        def indices(shard_id, num_shards):
+            pipe = HostDataPipeline(
+                ds, 1, shuffle=True, num_workers=1, seed=3,
+                shard_id=shard_id, num_shards=num_shards,
+            )
+            return [i for _, i in pipe._index_stream()]
+
+        full = indices(0, 1)
+        s0, s1 = indices(0, 2), indices(1, 2)
+        assert sorted(s0 + s1) == sorted(full)
+        assert not set(s0) & set(s1)
+
+    def test_len_accounts_for_shard(self, tree):
+        ds = ImagePairDataset(tree, "train", augment_samples=False, random_pairs=False)
+        assert len(HostDataPipeline(ds, 1, num_shards=1)) == 3
+        assert len(HostDataPipeline(ds, 1, shard_id=0, num_shards=2)) == 2
+        assert len(HostDataPipeline(ds, 1, shard_id=1, num_shards=2)) == 1
+
+    def test_bad_shard_id(self, tree):
+        ds = ImagePairDataset(tree, "train")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            HostDataPipeline(ds, 1, shard_id=2, num_shards=2)

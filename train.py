@@ -91,6 +91,9 @@ def main():
         num_workers=config.data.num_workers,
         prefetch=config.data.prefetch,
         seed=t_cfg.seed,
+        # per-host shard for multi-host data parallelism
+        shard_id=jax.process_index(),
+        num_shards=jax.process_count(),
     )
 
     # ------------------------------------------------------------- trainer
