@@ -162,13 +162,15 @@ class StackedLSTM(nn.Module):
 
 
 class Dense(nn.Module):
-    """FC layer. `tanh_coord=True` reproduces the reference's shared
-    `to_coord` head (normal(0.02) init, zero bias, tanh — reference
-    layers.py:24-28); otherwise ReLU-free linear with Xavier init matching
-    tf.contrib.layers.fully_connected's default activation is NOT applied —
-    callers add their own nonlinearity. NOTE: tf.contrib fully_connected
-    defaults to relu activation; the reference relies on that default in
-    vae_encoder/decoder/seq_discr, so callers there pass `relu=True`."""
+    """FC layer with the reference's two flavors:
+
+    - `tanh_coord=True`: the shared `to_coord` head — normal(0.02) init,
+      zero bias, tanh (reference models/networks/layers.py:24-28).
+    - `relu=True`: tf.contrib.layers.fully_connected's DEFAULT relu
+      activation, which the reference's vae_encoder/vae_decoder/seq_discr
+      all rely on implicitly (quirk Q6-revised; see networks.py docstring).
+    - both False: plain linear, Xavier init.
+    """
 
     features: int
     tanh_coord: bool = False

@@ -23,9 +23,8 @@ Layouts: TF conv kernels are HWIO and FC kernels [in, out] — identical to
 flax; no transposes needed. BN: gamma->scale, beta->bias,
 moving_mean->batch_stats.mean, moving_variance->batch_stats.var.
 
-`map_stage1_names` / `map_stage2_names` are pure (testable without TF);
-`transcode_tf1_checkpoint` needs TensorFlow to read the checkpoint and is
-import-gated.
+`map_names` is pure (testable without TF); `transcode_tf1_checkpoint`
+needs TensorFlow to read the checkpoint and is import-gated.
 """
 
 from __future__ import annotations
