@@ -69,8 +69,8 @@ def stage2_summary_images(trainer, state, batch, colors, rng, max_outputs: int =
         {k: jnp.asarray(v) for k, v in small.items()}
     )
     noise = jax.random.normal(rng, (first_pt.shape[0], trainer.vae_dim))
-    pred_seq, _, _ = trainer.generator.apply(
-        {"params": state.g_params}, real_seq, first_pt, act, noise
+    pred_seq, _, _ = trainer.jitted_forward(
+        state.g_params, real_seq, first_pt, act, noise
     )
     b, t = pred_seq.shape[0], pred_seq.shape[1]
     k = trainer.n_pts

@@ -207,10 +207,19 @@ class Stage1Trainer:
     def jitted_eval_step(self):
         return jax.jit(self.eval_step)
 
-    def visualize(self, state: GANTrainState, batch: dict) -> dict[str, Any]:
-        """Forward pass returning image tensors for summaries (counterpart
-        of reference _define_summary image grids)."""
-        out, _ = self._g_forward(
-            state.g_params, state.batch_stats, batch["image"], batch["future_image"], False
+    @functools.cached_property
+    def _jitted_infer_forward(self):
+        return jax.jit(
+            lambda g_params, batch_stats, im, fut: self._g_forward(
+                g_params, batch_stats, im, fut, False
+            )[0]
         )
-        return out
+
+    def visualize(self, state: GANTrainState, batch: dict) -> dict[str, Any]:
+        """Jitted inference forward returning image tensors for summaries
+        (counterpart of reference _define_summary image grids). Must be
+        jitted: an eager flax apply dispatches hundreds of individual ops,
+        which is pathological through a remote-device tunnel."""
+        return self._jitted_infer_forward(
+            state.g_params, state.batch_stats, batch["image"], batch["future_image"]
+        )

@@ -194,6 +194,16 @@ class Stage2Trainer:
 
     # ------------------------------------------------------------ jit entry
     @functools.cached_property
+    def jitted_forward(self):
+        """Jitted training-forward (for summaries; eager flax apply is
+        pathological through a remote-device tunnel)."""
+        return jax.jit(
+            lambda g_params, real_seq, first_pt, act, noise: self.generator.apply(
+                {"params": g_params}, real_seq, first_pt, act, noise
+            )
+        )
+
+    @functools.cached_property
     def jitted_train_step(self):
         return jax.jit(self.train_step, donate_argnums=(0,))
 

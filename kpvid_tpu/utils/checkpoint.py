@@ -29,6 +29,37 @@ def _checkpointer() -> ocp.StandardCheckpointer:
     return ocp.StandardCheckpointer()
 
 
+def _device_to_host_packed(state: Any) -> Any:
+    """Pull a device pytree to host numpy with ONE transfer per dtype.
+
+    Per-leaf device_get makes a round trip per tensor; through a remote-
+    device tunnel that runs ~13x slower than one large transfer (measured:
+    615 MB state, 272 s per-leaf vs ~20 s packed). Leaves are raveled and
+    concatenated by dtype on device (one fused XLA program), transferred,
+    then split/reshaped on host.
+    """
+    import jax.numpy as jnp
+
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    by_dtype: dict = {}
+    for i, leaf in enumerate(leaves):
+        arr = jnp.asarray(leaf)
+        by_dtype.setdefault(str(arr.dtype), []).append((i, arr))
+
+    host_leaves: list = [None] * len(leaves)
+    for _dtype, items in by_dtype.items():
+        packed = jax.jit(lambda ts: jnp.concatenate([t.ravel() for t in ts]))(
+            [arr for _, arr in items]
+        )
+        flat = np.asarray(packed)  # single transfer
+        offset = 0
+        for i, arr in items:
+            n = arr.size
+            host_leaves[i] = flat[offset : offset + n].reshape(arr.shape)
+            offset += n
+    return jax.tree_util.tree_unflatten(treedef, host_leaves)
+
+
 def save_checkpoint(
     log_dir: str | Path,
     name: str,
@@ -42,8 +73,8 @@ def save_checkpoint(
     root = Path(log_dir).resolve() / name
     root.mkdir(parents=True, exist_ok=True)
     path = root / f"ckpt-{step}"
-    # host-side numpy copy: donate-safe and device-agnostic
-    host_state = jax.tree.map(np.asarray, state)
+    # host-side numpy copy (packed transfer): donate-safe, device-agnostic
+    host_state = _device_to_host_packed(state)
     ck = _checkpointer()
     ck.save(path, host_state, force=True)
     ck.wait_until_finished()
