@@ -78,12 +78,20 @@ class FinalGenerator:
         im: jax.Array,
         action_code: jax.Array,
         rng: jax.Array,
+        split_first_conv: bool = True,
     ) -> dict:
         """im: [B, H, W, 3] in [-1, 1]; action_code: [B, A] one-hot.
 
         Returns pred_im_seq [B,T,H,W,3], mask, pred_im_crude, current_points
         / future_points visualizations inputs (raw keypoints), matching the
         reference output dict (final_model.py:112-121).
+
+        split_first_conv: serving fast path — the first translator conv's
+        input channels are [embedding(128) ++ current_map(K) ++
+        future_map(K)]; the first 128+K channels are IDENTICAL for all T
+        frames of a sample, so their contraction runs once per sample and
+        broadcasts (exact by linearity; saves ~(128+K)/(128+2K) of that
+        conv plus the B*T embedding materialization).
         """
         b = im.shape[0]
         # 1) current keypoints from the frozen pose encoder
@@ -99,8 +107,14 @@ class FinalGenerator:
         future_mu_seq = pred_flat.reshape(b, self.n_future, self.n_pts, 2)
 
         # 3) translate: embedding computed once, broadcast across T
+        precomputed_first = (
+            self._split_first_conv(stage1_vars, im, current_mu, future_mu_seq)
+            if split_first_conv
+            else None
+        )
         out = self.stage1.apply(
-            stage1_vars, im, current_mu, future_mu_seq, method=self.stage1.generate
+            stage1_vars, im, current_mu, future_mu_seq,
+            method=self.stage1.generate, precomputed_first=precomputed_first,
         )
         return {
             "im": im,
@@ -112,9 +126,45 @@ class FinalGenerator:
             "fut_pt_raw": future_mu_seq,
         }
 
+    def _split_first_conv(
+        self, stage1_vars: dict, im: jax.Array, current_mu: jax.Array,
+        future_mu_seq: jax.Array,
+    ) -> jax.Array:
+        """Pre-activation output of the translator's first conv for all
+        B*T frames, with the frame-invariant channels convolved once per
+        sample (see generate()). Matches flax nn.Conv numerics: SAME
+        padding, compute dtype self.dtype, bias added once."""
+        b, t = future_mu_seq.shape[0], future_mu_seq.shape[1]
+        hs = self.config.model.heatmap_size
+        inv_std = self.config.model.heatmap_inv_std
+        dt = self.dtype
+
+        emb = self.stage1.apply(stage1_vars, im, method=self.stage1.embed)
+        cur_map = render_gaussian_maps(current_mu, hs, hs, inv_std)
+        fut_map = render_gaussian_maps(
+            future_mu_seq.reshape(b * t, self.n_pts, 2), hs, hs, inv_std
+        )
+        static = jnp.concatenate([emb.astype(dt), cur_map.astype(dt)], axis=-1)
+
+        conv_p = stage1_vars["params"]["translator"]["oct0a_conv"]["Conv_0"]
+        kernel = conv_p["kernel"].astype(dt)  # [3, 3, 128+2K, F]
+        bias = conv_p["bias"].astype(dt)
+        n_static = static.shape[-1]
+
+        def conv(x, k):
+            return jax.lax.conv_general_dilated(
+                x, k, window_strides=(1, 1), padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
+        y_static = conv(static, kernel[:, :, :n_static, :]) + bias  # [B, h, w, F]
+        y_dyn = conv(fut_map.astype(dt), kernel[:, :, n_static:, :])  # [B*T, ...]
+        y = y_dyn.reshape(b, t, *y_dyn.shape[1:]) + y_static[:, None]
+        return y.reshape(b * t, *y_dyn.shape[1:])
+
     @functools.cached_property
     def jitted_generate(self):
-        return jax.jit(self.generate)
+        return jax.jit(self.generate, static_argnames=("split_first_conv",))
 
     def render_point_images(self, mu, colors, size: int | None = None) -> jax.Array:
         """Colorized keypoint visualization at full resolution (reference

@@ -130,12 +130,25 @@ class Translator(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool):
+    def __call__(self, x: jax.Array, train: bool, precomputed_first: jax.Array | None = None):
+        """`precomputed_first`: pre-activation output of the FIRST conv
+        (oct0a), computed externally — the serving fast path splits that
+        conv by input channel so the frame-invariant part runs once per
+        sample instead of once per frame (see Stage1Generator.generate /
+        eval/final.py). Exact by linearity of convolution."""
         final_res = self.final_res or x.shape[1] * 4
         f = self.filters
         octave = 0
         while True:
-            x = conv_bn_relu(x, f, 3, 1, train, self.dtype, f"oct{octave}a")
+            if octave == 0:
+                if precomputed_first is None:
+                    x = Conv(f, 3, 1, dtype=self.dtype, name="oct0a_conv")(x)
+                else:
+                    x = precomputed_first
+                x = BatchNorm(dtype=self.dtype, name="oct0a_bn")(x, train)
+                x = nn.relu(x)
+            else:
+                x = conv_bn_relu(x, f, 3, 1, train, self.dtype, f"oct{octave}a")
             x = conv_bn_relu(x, f, 3, 1, train, self.dtype, f"oct{octave}b")
             if x.shape[1] == final_res:
                 crude = Conv(3, 3, 1, dtype=self.dtype, name="crude")(x)
@@ -217,33 +230,47 @@ class Stage1Generator(nn.Module):
         reference models/keypoint_model.py:42-57)."""
         return self.pose_encoder(im, train)
 
+    def embed(self, im: jax.Array, train: bool = False) -> jax.Array:
+        """Appearance embedding consumed by the translator
+        ([B, H/4, W/4, 128]; reference final_model.py:61-66)."""
+        return self.image_encoder(im, train)[-2]
+
     def generate(
         self,
         im: jax.Array,
         current_mu: jax.Array,
         future_mu_seq: jax.Array,
         train: bool = False,
+        precomputed_first: jax.Array | None = None,
     ) -> dict:
         """Fused generation: translate one source frame to T future frames.
 
         im: [B, H, W, 3]; current_mu: [B, K, 2]; future_mu_seq: [B, T, K, 2].
         The image embedding and the current-keypoint heatmap are computed
         ONCE and broadcast across T (the reference tiles tensors B*32;
-        models/final_model.py:58-92).
+        models/final_model.py:58-92). When `precomputed_first` (the first
+        translator conv's output for all B*T frames) is supplied, the
+        embedding/concat path is skipped entirely — the serving fast path
+        in eval/final.py builds it with the frame-invariant input channels
+        convolved once per sample.
         """
         b, t = future_mu_seq.shape[0], future_mu_seq.shape[1]
         hs = self.heatmap_size
-        emb = self.image_encoder(im, train)[-2]  # [B, 32, 32, 128]
-        cur_map = render_gaussian_maps(current_mu, hs, hs, self.heatmap_inv_std)
-        fut_map = render_gaussian_maps(
-            future_mu_seq.reshape(b * t, *future_mu_seq.shape[2:]), hs, hs, self.heatmap_inv_std
-        )
-        emb_t = jnp.repeat(emb, t, axis=0)
-        cur_t = jnp.repeat(cur_map, t, axis=0)
-        joint = jnp.concatenate(
-            [emb_t, cur_t.astype(self.dtype), fut_map.astype(self.dtype)], axis=-1
-        )
-        crude, mask = self.translator(joint, train)
+        if precomputed_first is None:
+            emb = self.image_encoder(im, train)[-2]  # [B, 32, 32, 128]
+            cur_map = render_gaussian_maps(current_mu, hs, hs, self.heatmap_inv_std)
+            fut_map = render_gaussian_maps(
+                future_mu_seq.reshape(b * t, *future_mu_seq.shape[2:]),
+                hs, hs, self.heatmap_inv_std,
+            )
+            emb_t = jnp.repeat(emb, t, axis=0)
+            cur_t = jnp.repeat(cur_map, t, axis=0)
+            joint = jnp.concatenate(
+                [emb_t, cur_t.astype(self.dtype), fut_map.astype(self.dtype)], axis=-1
+            )
+        else:
+            joint = precomputed_first  # only carries the spatial shape
+        crude, mask = self.translator(joint, train, precomputed_first=precomputed_first)
         im_t = jnp.repeat(im, t, axis=0)
         final = im_t * mask + crude * (1.0 - mask)
         final = jnp.clip(final, -1.0, 1.0)

@@ -67,3 +67,21 @@ def test_render_point_images(final):
     img = gen.render_point_images(mu, jnp.asarray(get_n_colors(4)))
     assert img.shape == (1, 32, 32, 3)
     assert float(img.max()) > 0.5  # peaks tinted
+
+
+def test_split_first_conv_exact(final, rng):
+    """The serving fast path (first-conv split by linearity) is numerically
+    equivalent to the straightforward path (f32 config -> tight)."""
+    gen, s1_vars, s2_vars = final
+    im = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)), jnp.float32)
+    act = jax.nn.one_hot(jnp.asarray([0, 4]), 5)
+    key = jax.random.PRNGKey(11)
+    fast = gen.generate(s1_vars, s2_vars["params"], im, act, key, split_first_conv=True)
+    slow = gen.generate(s1_vars, s2_vars["params"], im, act, key, split_first_conv=False)
+    np.testing.assert_allclose(
+        np.asarray(fast["pred_im_seq"]), np.asarray(slow["pred_im_seq"]),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast["mask"]), np.asarray(slow["mask"]), rtol=1e-4, atol=1e-5
+    )
