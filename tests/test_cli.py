@@ -1,0 +1,77 @@
+"""End-to-end CLI chain smoke test (train -> label -> train -> evaluate).
+
+Opt-in (KPVID_CLI_TESTS=1): it shells out to the real CLIs on synthetic
+data, which costs ~5 minutes warm / ~20 cold on a small host. The default
+suite stays fast; the verify skill and CI-nightly runs set the flag.
+"""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("KPVID_CLI_TESTS") != "1",
+    reason="set KPVID_CLI_TESTS=1 to run the full CLI chain",
+)
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def run(args):
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable] + args, cwd=REPO, env=env,
+        capture_output=True, text=True, timeout=1200,
+    )
+    assert proc.returncode == 0, f"{args}\n--- stdout:\n{proc.stdout}\n--- stderr:\n{proc.stderr}"
+    return proc
+
+
+def test_full_chain(tmp_path):
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(f"""
+paths:
+  data_dir: '{tmp_path}/penn'
+  vggnet: '{tmp_path}/vgg19.npy'
+  log_dir: '{tmp_path}/results'
+training:
+  n_steps: 4
+  summary_interval: 2
+  test_interval: 4
+  checkpoint_interval: 4
+  log_interval: 1
+  batch_size: 2
+  compute_dtype: 'float32'
+model:
+  n_pts: 8
+  n_action: 9
+  cell_info: [64, 64]
+  vae_dim: 16
+  image_size: 32
+  heatmap_size: 8
+data:
+  num_workers: 2
+  labeler_chunk: 32
+  eval_batch_size: 2
+""")
+    c = str(cfg)
+    run(["train.py", "--mode", "detector_translator", "--config", c,
+         "--synthetic", "--max-steps", "3"])
+    assert (tmp_path / "results/detector_translator/ckpt-3").is_dir()
+    run(["make_pseudo_labels.py", "--config", c,
+         "--checkpoint", f"{tmp_path}/results/detector_translator", "--synthetic"])
+    labels = list((tmp_path / "penn/pseudo_labels").glob("*.npy"))
+    assert len(labels) == 6  # 4 train + 2 test synthetic videos
+    run(["train.py", "--mode", "motion_generator", "--config", c,
+         "--synthetic", "--max-steps", "3"])
+    run(["evaluate.py", "--config", c, "--synthetic",
+         "--checkpoint_stage1", f"{tmp_path}/results/detector_translator",
+         "--checkpoint_stage2", f"{tmp_path}/results/motion_generator",
+         "--save_dir", f"{tmp_path}/eval", "--batch_size", "2", "--gif"])
+    sample = tmp_path / "eval/0000"
+    assert (sample / "input_im.png").exists()
+    assert (sample / "pred.gif").exists()
+    assert len(list((sample / "pred_seq").glob("*.png"))) == 32
