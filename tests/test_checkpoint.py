@@ -3,6 +3,7 @@ composition semantic of reference base_model.py:83-92 / evaluate.py:76-77)."""
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from kpvid_tpu.utils.checkpoint import (
@@ -96,3 +97,31 @@ def test_full_train_state_resume_roundtrip(tmp_path):
     np.testing.assert_array_equal(merged.g_params["dense"]["kernel"], np.ones((3, 4)))
     chex = merged.g_opt_state
     assert len(jax.tree.leaves(chex)) == len(jax.tree.leaves(opt.init(params)))
+
+
+def test_async_checkpoint_manager(tmp_path):
+    from kpvid_tpu.utils.checkpoint import AsyncCheckpointManager
+
+    mgr = AsyncCheckpointManager(tmp_path, "m", keep=2)
+    state = {"w": jnp.arange(8.0), "step": jnp.asarray(3)}
+    mgr.save(3, state)
+    mgr.save(4, jax.tree.map(lambda x: x * 2, state))  # waits for the first
+    mgr.save(5, jax.tree.map(lambda x: x * 3, state))
+    mgr.wait()
+    assert list_checkpoint_steps(tmp_path / "m") == [4, 5]  # keep=2
+    out = restore_checkpoint(latest_checkpoint(tmp_path / "m"))
+    np.testing.assert_array_equal(out["w"], np.arange(8.0) * 3)
+
+
+def test_async_checkpoint_snapshot_isolated(tmp_path):
+    """Mutating (donating) the live state after save() must not affect the
+    written checkpoint — save snapshots on device first."""
+    from kpvid_tpu.utils.checkpoint import AsyncCheckpointManager
+
+    mgr = AsyncCheckpointManager(tmp_path, "iso")
+    state = {"w": jnp.ones(4)}
+    mgr.save(1, state)
+    state["w"] = state["w"].at[:].set(99.0)  # simulate continued training
+    mgr.wait()
+    out = restore_checkpoint(latest_checkpoint(tmp_path / "iso"))
+    np.testing.assert_array_equal(out["w"], np.ones(4))

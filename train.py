@@ -50,10 +50,10 @@ def main():
     from kpvid_tpu.data import HostDataPipeline, ImagePairDataset, SequenceDataset
     from kpvid_tpu.losses import load_vgg19_params, synthesize_vgg19_params
     from kpvid_tpu.utils.checkpoint import (
+        AsyncCheckpointManager,
         latest_checkpoint,
         merge_restore,
         restore_checkpoint,
-        save_checkpoint,
     )
     from kpvid_tpu.utils.logging import MetricLogger, Throughput, logger
 
@@ -134,6 +134,9 @@ def main():
             logger.info("resumed %d tensors from %s (step %d)", n, latest, int(state.step))
 
     metric_logger = MetricLogger(config.paths.log_dir, args.mode, tensorboard=args.tensorboard)
+    ckpt_manager = AsyncCheckpointManager(
+        config.paths.log_dir, args.mode, keep=t_cfg.keep_checkpoints
+    )
     throughput = Throughput()
 
     n_steps = args.max_steps if args.max_steps is not None else t_cfg.n_steps
@@ -205,18 +208,16 @@ def main():
                 metric_logger.log_images("train", step, images)
 
         if step % t_cfg.checkpoint_interval == 0 and step > start_step:
-            save_checkpoint(
-                config.paths.log_dir, args.mode, step, state, keep=t_cfg.keep_checkpoints
-            )
+            # async: snapshot on device, transfer/write in the background
+            ckpt_manager.save(step, state)
 
         if step % t_cfg.test_interval == 0:
             _run_test_sweep(
                 args.mode, trainer, state, test_ds, config, step, metric_logger, rng
             )
 
-    save_checkpoint(
-        config.paths.log_dir, args.mode, n_steps, state, keep=t_cfg.keep_checkpoints
-    )
+    ckpt_manager.save(n_steps, state)
+    ckpt_manager.wait()
     metric_logger.close()
     logger.info("done at step %d", n_steps)
 
