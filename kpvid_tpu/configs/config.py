@@ -59,6 +59,16 @@ class TrainingConfig:
     # reference's max_to_keep=None; reference: models/base_model.py:74)
     keep_checkpoints: int | None = None
     resume: bool = True  # fix of reference quirk Q3 (resume was unwired)
+    # BN statistics mode during in-training test sweeps:
+    # 'inference': use the moving averages (the mathematically-right mode,
+    #   the round-1 default).
+    # 'train': bug-compat with reference quirk Q5 — the reference's test
+    #   sweeps run through the TRAIN graph, so BN normalizes with the test
+    #   batch's own statistics (reference train.py:46 +
+    #   detector_translator_model.py:165-167). Use this to compare loss
+    #   curves 1:1 against a reference run. Moving averages are still only
+    #   updated by the G train pass, never by eval.
+    bn_eval_mode: str = "inference"
 
 
 @dataclasses.dataclass
@@ -81,9 +91,12 @@ class ModelConfig:
 
 @dataclasses.dataclass
 class DataConfig:
-    """Host pipeline knobs (reference: data/base_dataloader.py:32-54)."""
+    """Host pipeline knobs (reference: data/base_dataloader.py:32-54).
 
-    shuffle_buffer: int = 2000
+    No shuffle-buffer knob: the reference's shuffle(2000) window is
+    superseded by full-epoch permutation in HostDataPipeline (strictly
+    better mixing, deterministic per (seed, epoch))."""
+
     num_workers: int = 12
     prefetch: int = 2
     # sequence loading (reference: data/sequence_dataloader.py:14)
@@ -109,10 +122,18 @@ class Config:
         m, t = self.model, self.training
         if m.n_pts <= 0 or m.n_action <= 0:
             raise ValueError("model.n_pts and model.n_action must be positive")
-        if m.image_size % m.heatmap_size != 0:
-            raise ValueError("image_size must be a multiple of heatmap_size")
+        if m.image_size != 4 * m.heatmap_size:
+            # the translator upsamples the heatmap-resolution joint embedding
+            # exactly 2 octaves (reference networks/__init__.py:75-102), so
+            # any other ratio would trace into a shape error mid-model
+            raise ValueError(
+                f"image_size ({m.image_size}) must be exactly 4 * heatmap_size "
+                f"({m.heatmap_size}): the translator has two 2x upsample octaves"
+            )
         if t.gan_step_mode not in ("fused", "two_batch"):
             raise ValueError(f"unknown gan_step_mode {t.gan_step_mode!r}")
+        if t.bn_eval_mode not in ("inference", "train"):
+            raise ValueError(f"unknown bn_eval_mode {t.bn_eval_mode!r}")
         if t.compute_dtype not in ("bfloat16", "float32"):
             raise ValueError(f"unknown compute_dtype {t.compute_dtype!r}")
         if t.batch_size <= 0:

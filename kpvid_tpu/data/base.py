@@ -51,11 +51,20 @@ class HostDataPipeline:
         drop_remainder: bool | None = None,
         shard_id: int = 0,
         num_shards: int = 1,
+        start_sample: int = 0,
     ):
         """shard_id/num_shards: per-host data sharding for multi-host DP —
         every host draws the same seeded permutation and takes a strided
         slice, so shards partition each epoch exactly (pass
-        jax.process_index()/jax.process_count())."""
+        jax.process_index()/jax.process_count()).
+
+        start_sample: resume the index stream after this many already-
+        consumed samples (per shard). Each epoch's permutation is seeded
+        independently by (seed, epoch), so the fast-forward is O(1): jump
+        to epoch start_sample // shard_len, offset start_sample % shard_len.
+        Combined with the per-(seed, epoch, idx) sample RNG, a resumed run
+        continues the EXACT data stream the interrupted run would have
+        produced (train.py passes step * batch_size on resume)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -67,6 +76,7 @@ class HostDataPipeline:
             raise ValueError(f"shard_id {shard_id} not in [0, {num_shards})")
         self.shard_id = shard_id
         self.num_shards = num_shards
+        self.start_sample = start_sample
         # training (repeat) wants static shapes -> drop remainder; eval
         # sweeps want every sample -> keep the ragged final batch
         self.drop_remainder = repeat if drop_remainder is None else drop_remainder
@@ -83,13 +93,20 @@ class HostDataPipeline:
         return idxs[self.shard_id :: self.num_shards]
 
     def _index_stream(self) -> Iterator[tuple[int, int]]:
-        epoch = 0
-        order_rng = np.random.default_rng(self.seed)
         n = len(self.dataset)
+        shard_len = len(self._shard(np.arange(n)))
+        epoch, offset = (0, 0)
+        if self.start_sample and shard_len:
+            epoch, offset = divmod(self.start_sample, shard_len)
         while True:
+            # each epoch's order is seeded independently -> O(1) resume
+            order_rng = np.random.default_rng(
+                np.random.SeedSequence([self.seed, epoch])
+            )
             idxs = order_rng.permutation(n) if self.shuffle else np.arange(n)
-            for i in self._shard(idxs):
+            for i in self._shard(idxs)[offset:]:
                 yield epoch, int(i)
+            offset = 0
             epoch += 1
             if not self.repeat:
                 return

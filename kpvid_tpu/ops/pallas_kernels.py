@@ -59,17 +59,17 @@ def _soft_expect(logits: jax.Array, size: int) -> jax.Array:
 
 
 # --------------------------------------------------------------- pose head
-def _pose_head_kernel(raw_ref, out_ref, sumw_ref, margh_ref, *, height, width):
+def _pose_head_kernel(raw_ref, out_ref, sumw_ref, margh_ref, *, height, width, tile_h):
     ti = pl.program_id(1)
     n_tiles = pl.num_programs(1)
-    x = raw_ref[0].astype(jnp.float32)  # [TILE_H, W, K]
+    x = raw_ref[0].astype(jnp.float32)  # [tile_h, W, K]
 
     @pl.when(ti == 0)
     def _():
         sumw_ref[...] = jnp.zeros_like(sumw_ref)
 
     sumw_ref[...] += jnp.sum(x, axis=0)  # accumulate over H -> [W, K]
-    margh_ref[pl.ds(ti * _TILE_H, _TILE_H), :] = jnp.mean(x, axis=1)  # [TILE_H, K]
+    margh_ref[pl.ds(ti * tile_h, tile_h), :] = jnp.mean(x, axis=1)  # [tile_h, K]
 
     @pl.when(ti == n_tiles - 1)
     def _():
@@ -88,7 +88,7 @@ def pose_head_pallas(raw_maps: jax.Array, interpret: bool = False) -> jax.Array:
     b, h, w, k = raw_maps.shape
     tile_h = min(_TILE_H, h)
     assert h % tile_h == 0, f"H={h} must be divisible by {tile_h}"
-    kernel = functools.partial(_pose_head_kernel, height=h, width=w)
+    kernel = functools.partial(_pose_head_kernel, height=h, width=w, tile_h=tile_h)
     return pl.pallas_call(
         kernel,
         grid=(b, h // tile_h),

@@ -64,6 +64,9 @@ class Stage1Trainer:
         self.g_opt = make_optimizer(config.training.lr)
         self.d_opt = make_optimizer(config.training.lr)
         self.lr_schedule = make_lr_schedule(config.training.lr)
+        # quirk Q5 bug-compat switch: 'train' evaluates with batch-statistics
+        # BN like the reference's in-training test sweeps (see configs)
+        self.bn_eval_train = config.training.bn_eval_mode == "train"
 
     # ---------------------------------------------------------------- init
     def init_state(self, rng: jax.Array) -> GANTrainState:
@@ -170,11 +173,16 @@ class Stage1Trainer:
 
     # ----------------------------------------------------------- evaluation
     def eval_step(self, state: GANTrainState, batch: dict) -> dict:
-        """Losses + fidelity metrics on a test batch (BN in inference mode —
-        a deliberate fix of reference quirk Q5, which ran its in-training
-        test sweeps with train-mode BN)."""
+        """Losses + fidelity metrics on a test batch. BN mode follows
+        config.training.bn_eval_mode: 'inference' (default; a deliberate fix
+        of reference quirk Q5) normalizes with the moving averages; 'train'
+        replicates the reference's train-mode BN test sweeps for 1:1 loss
+        comparison (mutated stats are discarded — eval never updates them,
+        matching the reference's UPDATE_OPS-on-G-op-only placement)."""
         im, future_im = batch["image"], batch["future_image"]
-        out, _ = self._g_forward(state.g_params, state.batch_stats, im, future_im, False)
+        out, _ = self._g_forward(
+            state.g_params, state.batch_stats, im, future_im, self.bn_eval_train
+        )
         fake = out["final"]
         real_logit, fake_logit = self._d_logits(state.d_params, future_im, fake)
         loss_d, d_real, d_fake = discriminator_loss(real_logit, fake_logit)

@@ -19,10 +19,16 @@ from pathlib import Path
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
 
 _STEP_RE = re.compile(r"ckpt-(\d+)$")
+
+# module-level jits: traced once per pytree structure, reused across every
+# checkpoint save (a fresh lambda per call would re-trace every time)
+_pack_ravel = jax.jit(lambda ts: jnp.concatenate([t.ravel() for t in ts]))
+_snapshot = jax.jit(lambda s: jax.tree.map(lambda l: l + 0, s))
 
 
 def _checkpointer() -> ocp.StandardCheckpointer:
@@ -38,8 +44,6 @@ def _device_to_host_packed(state: Any) -> Any:
     concatenated by dtype on device (one fused XLA program), transferred,
     then split/reshaped on host.
     """
-    import jax.numpy as jnp
-
     leaves, treedef = jax.tree_util.tree_flatten(state)
     by_dtype: dict = {}
     for i, leaf in enumerate(leaves):
@@ -48,9 +52,7 @@ def _device_to_host_packed(state: Any) -> Any:
 
     host_leaves: list = [None] * len(leaves)
     for _dtype, items in by_dtype.items():
-        packed = jax.jit(lambda ts: jnp.concatenate([t.ravel() for t in ts]))(
-            [arr for _, arr in items]
-        )
+        packed = _pack_ravel([arr for _, arr in items])
         flat = np.asarray(packed)  # single transfer
         offset = 0
         for i, arr in items:
@@ -111,7 +113,7 @@ class AsyncCheckpointManager:
         import threading
 
         self.wait()
-        snapshot = jax.jit(lambda s: jax.tree.map(lambda l: l + 0, s))(state)
+        snapshot = _snapshot(state)
         jax.block_until_ready(snapshot)
 
         def _run():

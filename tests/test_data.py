@@ -166,6 +166,20 @@ class TestPipeline:
         got = [next(it) for _ in range(5)]  # > one epoch worth
         assert all(g["image"].shape == (2, 128, 128, 3) for g in got)
 
+    def test_resume_continues_exact_stream(self, tree):
+        """start_sample=k resumes the EXACT sample stream an uninterrupted
+        run would have produced from position k (train.py resume passes
+        step * batch_size); spans an epoch boundary (3 train videos)."""
+        ds = ImagePairDataset(tree, "train")
+        kw = dict(shuffle=True, repeat=True, num_workers=2, seed=7)
+        full = HostDataPipeline(ds, 1, **kw).samples()
+        reference = [next(full) for _ in range(8)]
+        resumed = HostDataPipeline(ds, 1, start_sample=5, **kw).samples()
+        for want in reference[5:]:
+            got = next(resumed)
+            np.testing.assert_array_equal(got["image"], want["image"])
+            np.testing.assert_array_equal(got["future_image"], want["future_image"])
+
 
 class TestHostSharding:
     def test_shards_partition_epoch(self, tree):

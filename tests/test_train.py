@@ -77,6 +77,40 @@ class TestStage1:
         assert np.isfinite(float(metrics["psnr"]))
         assert float(metrics["reconstruction_metric"]) > 0
 
+    def test_bn_eval_mode_train_matches_q5_semantics(self, s1, batch):
+        """bn_eval_mode='train' (quirk Q5 bug-compat) evaluates with the
+        batch's own BN statistics — different numbers from inference-mode
+        BN, but identical to the train-mode forward's output."""
+        from dataclasses import replace as dc_replace
+
+        trainer, state = s1
+        cfg_q5 = dc_replace(
+            trainer.config,
+            training=dc_replace(trainer.config.training, bn_eval_mode="train"),
+        )
+        trainer_q5 = Stage1Trainer(cfg_q5, synthesize_vgg19_params())
+        m_inf = trainer.jitted_eval_step(state, batch)
+        m_q5 = trainer_q5.jitted_eval_step(state, batch)
+        assert not np.isclose(
+            float(m_inf["reconstruction_metric"]), float(m_q5["reconstruction_metric"])
+        )
+        # the q5-mode recon equals what the train-mode forward produces
+        out_train, _ = trainer._g_forward(
+            state.g_params, state.batch_stats, batch["image"], batch["future_image"], True
+        )
+        from kpvid_tpu.losses import perceptual_loss
+        from kpvid_tpu.train.stage1 import _to_0_255
+
+        want = perceptual_loss(
+            trainer.vgg_params,
+            _to_0_255(batch["future_image"]),
+            _to_0_255(out_train["final"]),
+            dtype=trainer.dtype,
+        )
+        np.testing.assert_allclose(
+            float(m_q5["reconstruction_metric"]), float(want), rtol=1e-5
+        )
+
     def test_bf16_train_step(self, batch):
         """The bf16 compute path must differentiate end-to-end (regression:
         VGG max-pool init and conv preferred_element_type once broke its

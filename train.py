@@ -21,7 +21,6 @@ from argparse import ArgumentParser
 from pathlib import Path
 
 import jax
-import numpy as np
 
 
 def main():
@@ -83,19 +82,6 @@ def main():
         train_ds = SequenceDataset(data_dir, "train", **kw)
         test_ds = SequenceDataset(data_dir, "test", **kw)
 
-    train_pipe = HostDataPipeline(
-        train_ds,
-        t_cfg.batch_size,
-        shuffle=True,
-        repeat=True,
-        num_workers=config.data.num_workers,
-        prefetch=config.data.prefetch,
-        seed=t_cfg.seed,
-        # per-host shard for multi-host data parallelism
-        shard_id=jax.process_index(),
-        num_shards=jax.process_count(),
-    )
-
     # ------------------------------------------------------------- trainer
     if args.mode == "detector_translator":
         from kpvid_tpu.train.stage1 import Stage1Trainer
@@ -142,6 +128,22 @@ def main():
     n_steps = args.max_steps if args.max_steps is not None else t_cfg.n_steps
     two_batch = t_cfg.gan_step_mode == "two_batch"
     start_step = int(state.step)
+
+    train_pipe = HostDataPipeline(
+        train_ds,
+        t_cfg.batch_size,
+        shuffle=True,
+        repeat=True,
+        num_workers=config.data.num_workers,
+        prefetch=config.data.prefetch,
+        seed=t_cfg.seed,
+        # per-host shard for multi-host data parallelism
+        shard_id=jax.process_index(),
+        num_shards=jax.process_count(),
+        # resume continues the exact data stream the interrupted run would
+        # have produced (two_batch pulls two batches per step)
+        start_sample=start_step * t_cfg.batch_size * (2 if two_batch else 1),
+    )
     logger.info("training %s from step %d to %d on %s", args.mode, start_step, n_steps,
                 jax.devices()[0])
 
@@ -223,9 +225,9 @@ def main():
 
 
 def _run_test_sweep(mode, trainer, state, test_ds, config, step, metric_logger, rng):
-    """Average eval metrics over the full test split (reference
-    train.py:98-111). Fixed batch: the tail batch is padded then the mean is
-    weighted by true counts, so XLA compiles one shape."""
+    """Average eval metrics over the full test split, weighted by true
+    example counts (reference train.py:98-111 sweeps the ragged tail batch
+    unpadded; so do we — at most one extra compiled shape, cached)."""
     from kpvid_tpu.data import HostDataPipeline
 
     t_cfg = config.training
@@ -239,22 +241,18 @@ def _run_test_sweep(mode, trainer, state, test_ds, config, step, metric_logger, 
     t0 = time.perf_counter()
     for batch in pipe.batches():
         bs = batch["image"].shape[0]
-        if bs < t_cfg.batch_size:  # pad tail to keep one compiled shape
-            batch = {
-                k: np.concatenate([v] + [v[-1:]] * (t_cfg.batch_size - bs), axis=0)
-                for k, v in batch.items()
-            }
         if mode == "detector_translator":
             metrics = trainer.jitted_eval_step(state, batch)
         else:
             rng, eval_rng = jax.random.split(rng)
             metrics = trainer.jitted_eval_step(state, batch, eval_rng)
         for k, v in metrics.items():
-            totals[k] = totals.get(k, 0.0) + float(v)
+            # per-batch means weighted by true counts -> exact per-example mean
+            totals[k] = totals.get(k, 0.0) + float(v) * bs
         n_batches += 1
         n_examples += bs
     duration = time.perf_counter() - t0
-    avg = {k: v / max(n_batches, 1) for k, v in totals.items()}
+    avg = {k: v / max(n_examples, 1) for k, v in totals.items()}
     metric_logger.log_metrics("test", step, avg)
     metric_logger.log_console(
         step, avg.get("loss_D", float("nan")), avg.get("loss_G", float("nan")),
