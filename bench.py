@@ -14,9 +14,21 @@ from __future__ import annotations
 
 import json
 import time
+from argparse import ArgumentParser
 
 
 def main():
+    parser = ArgumentParser()
+    parser.add_argument(
+        "--mesh", action="store_true",
+        help="serve batch-parallel over a pure-DP ('data') mesh spanning "
+             "all visible devices (params replicated, batch sharded; "
+             "equivalence-proven in tests/test_parallel.py and the "
+             "multichip dryrun)",
+    )
+    parser.add_argument("--batch", type=int, default=16)
+    args = parser.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -30,13 +42,27 @@ def main():
     final = FinalGenerator(config)
     m = config.model
 
-    batch = 16
+    n_devices = len(jax.devices())
+    batch = args.batch
+    if args.mesh:
+        batch = max(batch, n_devices) // n_devices * n_devices
     s1_vars, s2_vars = final.init_variables(jax.random.PRNGKey(0))
     im = jax.random.uniform(
         jax.random.PRNGKey(2), (batch, m.image_size, m.image_size, 3),
         jnp.float32, -1.0, 1.0,
     )
     act = jax.nn.one_hot(jnp.zeros((batch,), jnp.int32), m.n_action)
+    s2_params = s2_vars["params"]
+
+    if args.mesh:
+        from kpvid_tpu.parallel import batch_sharding, make_mesh, replicate
+
+        mesh = make_mesh(n_model=1)
+        s1_vars = replicate(mesh, s1_vars)
+        s2_params = replicate(mesh, s2_params)
+        im = jax.device_put(im, batch_sharding(mesh))
+        act = jax.device_put(act, batch_sharding(mesh))
+    s2_vars = {"params": s2_params}
 
     generate = jax.jit(final.generate)
     # warmup: compile + a few executions with a HARD sync (under the

@@ -3,6 +3,7 @@ from .config import (
     DataConfig,
     LRConfig,
     ModelConfig,
+    ParallelConfig,
     PathsConfig,
     TrainingConfig,
     load_config,
@@ -13,6 +14,7 @@ __all__ = [
     "DataConfig",
     "LRConfig",
     "ModelConfig",
+    "ParallelConfig",
     "PathsConfig",
     "TrainingConfig",
     "load_config",

@@ -112,11 +112,25 @@ class DataConfig:
 
 
 @dataclasses.dataclass
+class ParallelConfig:
+    """Multi-chip layout (no reference equivalent: the reference is strictly
+    single-device, reference train.py:25-29). A ('data', 'model') mesh is
+    built whenever more than one device is visible (or mesh_model > 1);
+    batches shard over 'data', wide kernels (>= min_shard_dim output dim)
+    shard over 'model', gradients all-reduce over ICI via XLA psum."""
+
+    mesh_data: int | None = None  # None = all visible devices / mesh_model
+    mesh_model: int = 1
+    min_shard_dim: int = 1024     # narrower kernels stay replicated
+
+
+@dataclasses.dataclass
 class Config:
     paths: PathsConfig = dataclasses.field(default_factory=PathsConfig)
     training: TrainingConfig = dataclasses.field(default_factory=TrainingConfig)
     model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
     data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    parallel: ParallelConfig = dataclasses.field(default_factory=ParallelConfig)
 
     def validate(self) -> "Config":
         m, t = self.model, self.training
@@ -138,6 +152,9 @@ class Config:
             raise ValueError(f"unknown compute_dtype {t.compute_dtype!r}")
         if t.batch_size <= 0:
             raise ValueError("batch_size must be positive")
+        p = self.parallel
+        if p.mesh_model < 1 or (p.mesh_data is not None and p.mesh_data < 1):
+            raise ValueError("parallel.mesh_data/mesh_model must be >= 1")
         return self
 
 
@@ -155,6 +172,7 @@ def _build(cls, raw: dict[str, Any]):
             "training": TrainingConfig,
             "model": ModelConfig,
             "data": DataConfig,
+            "parallel": ParallelConfig,
         }
         if key in nested and isinstance(val, dict):
             kwargs[key] = _build(nested[key], val)

@@ -197,26 +197,35 @@ class HostDataPipeline:
             yield _stack(buf)
 
 
-def device_prefetch(batches: Iterator[dict], size: int = 2) -> Iterator[dict]:
-    """Move batches to the default device `size` steps ahead of the
-    consumer (the tf.data `prefetch(1)`-to-device equivalent; reference
+def device_prefetch(
+    batches: Iterator[dict], size: int = 2, sharding=None
+) -> Iterator[dict]:
+    """Move batches to device `size` steps ahead of the consumer (the
+    tf.data `prefetch(1)`-to-device equivalent; reference
     data/base_dataloader.py:51-52). jax.device_put is async, so H2D
-    transfers overlap the running step."""
+    transfers overlap the running step. `sharding`: an optional
+    jax.sharding.Sharding (e.g. parallel.batch_sharding(mesh)) that lays
+    each batch out across the mesh as it lands on device."""
     import collections
 
     import jax
+
+    def put(batch):
+        if sharding is None:
+            return jax.device_put(batch)
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
     ahead: collections.deque = collections.deque()
     it = iter(batches)
     try:
         for _ in range(size):
-            ahead.append(jax.device_put(next(it)))
+            ahead.append(put(next(it)))
     except StopIteration:
         pass
     while ahead:
         out = ahead.popleft()
         try:
-            ahead.append(jax.device_put(next(it)))
+            ahead.append(put(next(it)))
         except StopIteration:
             pass
         yield out

@@ -1,6 +1,7 @@
 from .mesh import make_mesh
 from .sharding import (
     batch_sharding,
+    replicate,
     param_sharding_rules,
     shard_batch,
     shard_state,
@@ -9,6 +10,7 @@ from .sharding import (
 __all__ = [
     "make_mesh",
     "batch_sharding",
+    "replicate",
     "param_sharding_rules",
     "shard_batch",
     "shard_state",

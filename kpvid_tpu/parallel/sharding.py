@@ -29,6 +29,14 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    """Device-put a pytree fully replicated over the mesh (used for ragged
+    eval tail batches whose leading dim doesn't divide the 'data' axis —
+    exact math, every device computes the full batch)."""
+    sh = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
 def _leaf_spec(leaf, model_size: int, min_shard_dim: int) -> P:
     shape = getattr(leaf, "shape", ())
     if (

@@ -21,7 +21,9 @@ REPO = Path(__file__).resolve().parent.parent
 
 
 def run(args):
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # KPVID_PLATFORM (not JAX_PLATFORMS): the image's sitecustomize
+    # overrides the env var via jax.config; the CLIs honor this one
+    env = dict(os.environ, JAX_PLATFORMS="cpu", KPVID_PLATFORM="cpu")
     proc = subprocess.run(
         [sys.executable] + args, cwd=REPO, env=env,
         capture_output=True, text=True, timeout=1200,

@@ -11,9 +11,61 @@ from kpvid_tpu.parallel import (
     batch_sharding,
     make_mesh,
     param_sharding_rules,
+    replicate,
     shard_batch,
     shard_state,
 )
+
+
+def _tiny_config(batch_size: int = 8):
+    from kpvid_tpu.configs import Config, ModelConfig, TrainingConfig
+
+    return Config(
+        model=ModelConfig(
+            n_pts=6,
+            n_action=4,
+            cell_info=(64, 64),
+            vae_dim=16,
+            image_size=32,
+            heatmap_size=8,
+            n_future_frames=8,
+        ),
+        training=TrainingConfig(batch_size=batch_size, compute_dtype="float32"),
+    ).validate()
+
+
+def _assert_tree_close(a, b, rtol, atol):
+    flat_a, _ = jax.tree_util.tree_flatten_with_path(a)
+    flat_b = jax.tree_util.tree_flatten(b)[0]
+    assert len(flat_a) == len(flat_b)
+    for (path, x), y in zip(flat_a, flat_b):
+        np.testing.assert_allclose(
+            np.asarray(x, np.float32),
+            np.asarray(y, np.float32),
+            rtol=rtol,
+            atol=atol,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
+def _assert_params_close_one_adam_step(a, b, lr):
+    """Post-Adam params after ONE step: the update is ~lr*sign(grad), so a
+    near-zero grad element whose sign flips under a different (but equally
+    valid) cross-device reduction order moves the param by up to 2*lr.
+    Assert (1) every element within that hard bound, and (2) the flips are
+    rare — mean |diff| far below lr (a real sharding bug, e.g. a missing
+    grad psum or per-shard batch stats, flips signs everywhere)."""
+    flat_a, _ = jax.tree_util.tree_flatten_with_path(a)
+    flat_b = jax.tree_util.tree_flatten(b)[0]
+    assert len(flat_a) == len(flat_b)
+    total = 0.0
+    count = 0
+    for (path, x), y in zip(flat_a, flat_b):
+        d = np.abs(np.asarray(x, np.float32) - np.asarray(y, np.float32))
+        assert d.max() <= 2.05 * lr, f"{jax.tree_util.keystr(path)}: {d.max()}"
+        total += float(d.sum())
+        count += d.size
+    assert total / count < 0.05 * lr, f"mean param diff {total / count}"
 
 
 @pytest.fixture(scope="module")
@@ -96,3 +148,95 @@ class TestDpTpExecution:
         wide_spec = sharded["g"]["wide"].sharding.spec
         assert tuple(wide_spec) == (None, "model")
         assert sharded["step"].sharding.spec == P()
+
+
+class TestTrainerMeshEquivalence:
+    """The REAL production train/eval/serve steps produce the same params
+    and metrics on a 4x2 DP+TP mesh as on a single device (pjit preserves
+    the single-program semantics; only reduction order may differ)."""
+
+    def test_stage1_train_step(self, mesh8):
+        from kpvid_tpu.losses import synthesize_vgg19_params
+        from kpvid_tpu.train.stage1 import Stage1Trainer
+
+        cfg = _tiny_config()
+        trainer = Stage1Trainer(cfg, synthesize_vgg19_params())
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(3)
+        batch = {
+            "image": rng.uniform(-1, 1, (8, 32, 32, 3)).astype(np.float32),
+            "future_image": rng.uniform(-1, 1, (8, 32, 32, 3)).astype(np.float32),
+        }
+        ref_state, ref_metrics = jax.jit(trainer.train_step)(
+            jax.tree.map(jnp.copy, state), batch
+        )
+        # min_shard_dim=64 makes the tiny nets' 64-256 wide kernels actually
+        # exercise TP (stand-ins for the production 1024+ kernels)
+        state_sh = shard_state(mesh8, state, min_shard_dim=64)
+        new_sh, m_sh = jax.jit(trainer.train_step)(state_sh, shard_batch(mesh8, batch))
+        lr = cfg.training.lr.start_val
+        _assert_tree_close(m_sh, ref_metrics, rtol=1e-4, atol=1e-6)
+        _assert_params_close_one_adam_step(new_sh.g_params, ref_state.g_params, lr)
+        _assert_params_close_one_adam_step(new_sh.d_params, ref_state.d_params, lr)
+        _assert_tree_close(
+            new_sh.batch_stats, ref_state.batch_stats, rtol=1e-4, atol=1e-6
+        )
+        # eval step too (mesh vs single device, identical pre-step state)
+        ev_ref = jax.jit(trainer.eval_step)(state, batch)
+        ev_sh = jax.jit(trainer.eval_step)(state_sh, shard_batch(mesh8, batch))
+        _assert_tree_close(ev_sh, ev_ref, rtol=1e-4, atol=1e-6)
+
+    def test_stage2_train_step(self, mesh8):
+        from kpvid_tpu.train.stage2 import Stage2Trainer
+
+        cfg = _tiny_config()
+        m = cfg.model
+        trainer = Stage2Trainer(cfg)
+        state = trainer.init_state(jax.random.PRNGKey(1))
+        rng = np.random.default_rng(4)
+        batch = {
+            "image": rng.uniform(-1, 1, (8, 32, 32, 3)).astype(np.float32),
+            "keypoints": rng.uniform(-1, 1, (8, m.n_pts, 2)).astype(np.float32),
+            "real_seq": rng.uniform(
+                -1, 1, (8, m.n_future_frames, m.n_pts, 2)
+            ).astype(np.float32),
+            "action_code": np.eye(m.n_action, dtype=np.float32)[
+                rng.integers(0, m.n_action, 8)
+            ],
+        }
+        step_rng = jax.random.PRNGKey(7)
+        ref_state, ref_metrics = jax.jit(trainer.train_step)(
+            jax.tree.map(jnp.copy, state), batch, step_rng
+        )
+        state_sh = shard_state(mesh8, state, min_shard_dim=64)
+        new_sh, m_sh = jax.jit(trainer.train_step)(
+            state_sh, shard_batch(mesh8, batch), step_rng
+        )
+        lr = cfg.training.lr.start_val
+        _assert_tree_close(m_sh, ref_metrics, rtol=1e-4, atol=1e-6)
+        _assert_params_close_one_adam_step(new_sh.g_params, ref_state.g_params, lr)
+        _assert_params_close_one_adam_step(new_sh.d_params, ref_state.d_params, lr)
+
+    def test_serving_generate_dp(self, mesh8):
+        """Multi-chip serving: FinalGenerator.generate with the batch
+        sharded over 'data' and params replicated equals the single-device
+        output."""
+        from kpvid_tpu.eval import FinalGenerator
+
+        cfg = _tiny_config()
+        m = cfg.model
+        final = FinalGenerator(cfg)
+        s1_vars, s2_vars = final.init_variables(jax.random.PRNGKey(2))
+        rng = np.random.default_rng(5)
+        im = rng.uniform(-1, 1, (8, m.image_size, m.image_size, 3)).astype(np.float32)
+        act = np.eye(m.n_action, dtype=np.float32)[rng.integers(0, m.n_action, 8)]
+        gen_rng = jax.random.PRNGKey(9)
+        ref = jax.jit(final.generate)(s1_vars, s2_vars["params"], im, act, gen_rng)
+        out = jax.jit(final.generate)(
+            replicate(mesh8, s1_vars),
+            replicate(mesh8, s2_vars["params"]),
+            jax.device_put(im, batch_sharding(mesh8)),
+            jax.device_put(act, batch_sharding(mesh8)),
+            gen_rng,
+        )
+        _assert_tree_close(out, ref, rtol=1e-4, atol=1e-5)

@@ -40,6 +40,13 @@ def main():
                         help="capture a jax.profiler trace of steps 10-14 here")
     parser.add_argument("--no-images", action="store_true",
                         help="skip image summaries at summary_interval")
+    parser.add_argument("--mesh-data", type=int, default=None,
+                        help="size of the 'data' mesh axis (overrides "
+                             "config parallel.mesh_data; default: all "
+                             "visible devices / mesh-model)")
+    parser.add_argument("--mesh-model", type=int, default=None,
+                        help="size of the 'model' (tensor-parallel) mesh "
+                             "axis (overrides config parallel.mesh_model)")
     args = parser.parse_args()
 
     from kpvid_tpu.utils.cache import enable_compilation_cache
@@ -119,6 +126,30 @@ def main():
                 )
             logger.info("resumed %d tensors from %s (step %d)", n, latest, int(state.step))
 
+    # ------------------------------------------------- multi-chip mesh
+    # (the reference is strictly single-device, train.py:25-29; this is the
+    # TPU rebuild's own scaling axis: DP over 'data', TP over 'model')
+    from kpvid_tpu.parallel import batch_sharding, make_mesh, shard_state
+
+    p_cfg = config.parallel
+    n_model = args.mesh_model if args.mesh_model is not None else p_cfg.mesh_model
+    n_data = args.mesh_data if args.mesh_data is not None else p_cfg.mesh_data
+    n_devices = len(jax.devices())
+    mesh = None
+    if n_devices > 1 or n_model > 1 or (n_data or 1) > 1:
+        mesh = make_mesh(n_data=n_data, n_model=n_model)
+        n_data = mesh.shape["data"]
+        if t_cfg.batch_size % n_data:
+            raise ValueError(
+                f"batch_size {t_cfg.batch_size} must be divisible by the "
+                f"'data' mesh axis ({n_data})"
+            )
+        state = shard_state(mesh, state, min_shard_dim=p_cfg.min_shard_dim)
+        logger.info(
+            "mesh: data=%d x model=%d over %d devices (per-device batch %d)",
+            n_data, mesh.shape["model"], n_devices, t_cfg.batch_size // n_data,
+        )
+
     metric_logger = MetricLogger(config.paths.log_dir, args.mode, tensorboard=args.tensorboard)
     ckpt_manager = AsyncCheckpointManager(
         config.paths.log_dir, args.mode, keep=t_cfg.keep_checkpoints
@@ -149,7 +180,11 @@ def main():
 
     from kpvid_tpu.data.base import device_prefetch
 
-    train_iter = device_prefetch(train_pipe.batches(), size=config.data.prefetch)
+    train_iter = device_prefetch(
+        train_pipe.batches(),
+        size=config.data.prefetch,
+        sharding=batch_sharding(mesh) if mesh is not None else None,
+    )
 
     def next_batch():
         return next(train_iter)
@@ -215,7 +250,8 @@ def main():
 
         if step % t_cfg.test_interval == 0:
             _run_test_sweep(
-                args.mode, trainer, state, test_ds, config, step, metric_logger, rng
+                args.mode, trainer, state, test_ds, config, step, metric_logger, rng,
+                mesh=mesh,
             )
 
     ckpt_manager.save(n_steps, state)
@@ -224,11 +260,17 @@ def main():
     logger.info("done at step %d", n_steps)
 
 
-def _run_test_sweep(mode, trainer, state, test_ds, config, step, metric_logger, rng):
+def _run_test_sweep(mode, trainer, state, test_ds, config, step, metric_logger, rng,
+                    mesh=None):
     """Average eval metrics over the full test split, weighted by true
     example counts (reference train.py:98-111 sweeps the ragged tail batch
-    unpadded; so do we — at most one extra compiled shape, cached)."""
+    unpadded; so do we — at most one extra compiled shape, cached). On a
+    mesh, full batches shard over 'data'; a ragged tail that doesn't divide
+    the data axis replicates instead (exact, just redundant compute)."""
     from kpvid_tpu.data import HostDataPipeline
+
+    if mesh is not None:
+        from kpvid_tpu.parallel import replicate, shard_batch
 
     t_cfg = config.training
     pipe = HostDataPipeline(
@@ -241,6 +283,11 @@ def _run_test_sweep(mode, trainer, state, test_ds, config, step, metric_logger, 
     t0 = time.perf_counter()
     for batch in pipe.batches():
         bs = batch["image"].shape[0]
+        if mesh is not None:
+            if bs % mesh.shape["data"] == 0:
+                batch = shard_batch(mesh, batch)
+            else:
+                batch = replicate(mesh, batch)
         if mode == "detector_translator":
             metrics = trainer.jitted_eval_step(state, batch)
         else:
