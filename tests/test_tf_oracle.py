@@ -1,0 +1,353 @@
+"""Forward-parity oracles against REAL TensorFlow kernels.
+
+The strongest available proof of reference numerics absent a pretrained
+checkpoint: TF 2.x ships the exact kernels the TF1 reference ran on —
+tf.nn.conv2d (SAME padding), tf.nn.batch_normalization (eps 1e-5), and the
+LEGACY bilinear resize (tf.compat.v1.image.resize_images, align_corners=
+False, non-half-pixel centers). These tests
+
+1. initialize the flax Stage1Generator,
+2. export every weight through utils/tf1_import.map_names — so the TF1
+   checkpoint transcoder's name mapping is itself forward-verified,
+3. rebuild the reference pose-encoder / image-encoder / translator graphs
+   with raw TF ops, following /root/reference/models/networks/__init__.py
+   (encoder :7-26, pose_encoder :36-72, translator :75-102) and
+   utils/model.py (get_gaussian_maps :47-58, get_coord :61-69) line by
+   line,
+4. assert the flax forward matches the TF forward at f32 tolerance.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from kpvid_tpu.models import Stage1Generator  # noqa: E402
+from kpvid_tpu.ops import upsample2x  # noqa: E402
+from kpvid_tpu.utils.checkpoint import _key_name  # noqa: E402
+from kpvid_tpu.utils.tf1_import import map_names  # noqa: E402
+
+N_PTS = 6
+SIZE = 32  # image size; heatmap = SIZE // 4
+
+
+# --------------------------------------------------------------- fixtures
+@pytest.fixture(scope="module")
+def model_weights():
+    """(flax module, randomized variables, {tf1_name: np.ndarray})."""
+    gen = Stage1Generator(
+        n_pts=N_PTS, heatmap_size=SIZE // 4, dtype=jnp.float32
+    )
+    dummy = jnp.zeros((1, SIZE, SIZE, 3), jnp.float32)
+    variables = jax.jit(lambda r: gen.init(r, dummy, dummy, train=False))(
+        jax.random.PRNGKey(0)
+    )
+
+    # randomize the zero-initialized leaves (conv biases, BN beta) and the
+    # moving statistics so every term of the TF math is nontrivial
+    counter = [0]
+
+    def rnd_param(leaf):
+        counter[0] += 1
+        if leaf.ndim == 1:
+            r = np.random.default_rng(counter[0])
+            return leaf + jnp.asarray(r.normal(0, 0.1, leaf.shape), jnp.float32)
+        return leaf
+
+    def rnd_stat(path, leaf):
+        counter[0] += 1
+        r = np.random.default_rng(counter[0])
+        name = _key_name(path[-1])
+        if name == "var":
+            return jnp.asarray(r.uniform(0.5, 1.5, leaf.shape), jnp.float32)
+        return jnp.asarray(r.normal(0, 0.2, leaf.shape), jnp.float32)
+
+    variables = {
+        "params": jax.tree.map(rnd_param, variables["params"]),
+        "batch_stats": jax.tree_util.tree_map_with_path(
+            rnd_stat, variables["batch_stats"]
+        ),
+    }
+
+    mapping = map_names(variables, "stage1")
+    flat, _ = jax.tree_util.tree_flatten_with_path(variables)
+    weights = {}
+    for path, leaf in flat:
+        key = tuple(_key_name(k) for k in path)
+        assert key in mapping, f"unmapped flax leaf {key}"
+        weights[mapping[key]] = np.asarray(leaf, np.float32)
+    return gen, variables, weights
+
+
+# ------------------------------------------------------ TF reference graph
+def _conv(w, x, scope, stride=1):
+    kernel = tf.constant(w[f"{scope}/conv2d/kernel"])
+    bias = tf.constant(w[f"{scope}/conv2d/bias"])
+    y = tf.nn.conv2d(x, kernel, strides=[1, stride, stride, 1], padding="SAME")
+    return y + bias
+
+
+def _bn(w, x, scope):
+    return tf.nn.batch_normalization(
+        x,
+        tf.constant(w[f"{scope}/moving_mean"]),
+        tf.constant(w[f"{scope}/moving_variance"]),
+        tf.constant(w[f"{scope}/beta"]),
+        tf.constant(w[f"{scope}/gamma"]),
+        1e-5,
+    )
+
+
+def _cbr(w, x, prefix, conv_scope, bn_scope, stride=1):
+    x = _conv(w, x, f"{prefix}/{conv_scope}", stride)
+    x = _bn(w, x, f"{prefix}/{bn_scope}")
+    return tf.nn.relu(x)
+
+
+def _tf_encoder(w, x, prefix):
+    """reference networks/__init__.py:7-26."""
+    feats = []
+    x = _cbr(w, x, prefix, "conv_1", "b_norm_1")
+    x = _cbr(w, x, prefix, "conv_2", "b_norm_2")
+    feats.append(x)
+    for i in range(3):
+        x = _cbr(w, x, prefix, f"conv_{i * 2 + 3}", f"b_norm_{i * 2 + 3}", stride=2)
+        x = _cbr(w, x, prefix, f"conv_{i * 2 + 4}", f"b_norm_{i * 2 + 4}")
+        feats.append(x)
+    return feats
+
+
+def _tf_get_coord(x, other_axis, axis_size):
+    """reference utils/model.py:61-69."""
+    prob = tf.nn.softmax(tf.reduce_mean(x, axis=other_axis), axis=1)
+    grid = tf.reshape(tf.linspace(-1.0, 1.0, axis_size), [1, axis_size, 1])
+    return tf.reduce_sum(prob * grid, axis=1)
+
+
+def _tf_pose_encoder(w, x, final_res):
+    """reference networks/__init__.py:36-72."""
+    feats = _tf_encoder(w, x, "pose_encoder/encoder")
+    x = feats[-1]
+    size = int(x.shape[1])
+    conv_id = 1
+    for i in range(4):
+        if i > 0:
+            x = tf.concat([x, feats[-1 * (i + 1)]], axis=-1)
+        x = _cbr(w, x, "pose_encoder", f"conv_{conv_id}_0", f"b_norm_{conv_id}_0")
+        x = _cbr(w, x, "pose_encoder", f"conv_{conv_id}_1", f"b_norm_{conv_id}_1")
+        if size == final_res:
+            x = _conv(w, x, "pose_encoder/conv_0")
+            break
+        x = _cbr(w, x, "pose_encoder", f"conv_{conv_id + 1}_0", f"b_norm_{conv_id + 1}_0")
+        x = _cbr(w, x, "pose_encoder", f"conv_{conv_id + 1}_1", f"b_norm_{conv_id + 1}_1")
+        x = tf.compat.v1.image.resize_images(x, [2 * size, 2 * size])
+        size = int(x.shape[1])
+        conv_id += 2
+    gauss_y = _tf_get_coord(x, 2, int(x.shape[1]))
+    gauss_x = _tf_get_coord(x, 1, int(x.shape[2]))
+    return tf.stack([gauss_x, gauss_y], axis=2)
+
+
+def _tf_translator(w, x, final_res):
+    """reference networks/__init__.py:75-102."""
+    size = int(x.shape[1])
+    conv_id = 1
+    while size <= final_res:
+        x = _cbr(w, x, "translator", f"conv_{conv_id}_0", f"b_norm_{conv_id}_0")
+        x = _cbr(w, x, "translator", f"conv_{conv_id}_1", f"b_norm_{conv_id}_1")
+        if size == final_res:
+            crude = _conv(w, x, f"translator/conv_{conv_id + 1}_0")
+            mask = tf.nn.sigmoid(_conv(w, x, f"translator/conv_{conv_id + 1}_1"))
+            return crude, mask
+        x = _cbr(w, x, "translator", f"conv_{conv_id + 1}_0", f"b_norm_{conv_id + 1}_0")
+        x = _cbr(w, x, "translator", f"conv_{conv_id + 1}_1", f"b_norm_{conv_id + 1}_1")
+        x = tf.compat.v1.image.resize_images(x, [2 * size, 2 * size])
+        size = int(x.shape[1])
+        conv_id += 2
+    raise AssertionError("unreachable")
+
+
+def _tf_gaussian_maps(mu, shape_hw, inv_std=14.3):
+    """reference utils/model.py:47-58."""
+    mu_x, mu_y = mu[:, :, 0:1], mu[:, :, 1:2]
+    y = tf.reshape(tf.linspace(-1.0, 1.0, shape_hw[0]), [1, 1, shape_hw[0], 1])
+    x = tf.reshape(tf.linspace(-1.0, 1.0, shape_hw[1]), [1, 1, 1, shape_hw[1]])
+    dist = (
+        tf.square(y - tf.expand_dims(mu_y, -1))
+        + tf.square(x - tf.expand_dims(mu_x, -1))
+    ) * inv_std**2
+    return tf.transpose(tf.exp(-dist), perm=[0, 2, 3, 1])
+
+
+# ------------------------------------------------------------------ tests
+class TestLegacyResize:
+    def test_upsample2x_matches_tf1_resize(self, rng):
+        x = rng.normal(size=(2, 5, 7, 3)).astype(np.float32)
+        want = tf.compat.v1.image.resize_images(tf.constant(x), [10, 14]).numpy()
+        got = np.asarray(upsample2x(jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+class TestStage1ForwardOracle:
+    def test_pose_encoder_matches_tf(self, model_weights, rng):
+        gen, variables, w = model_weights
+        im = rng.uniform(-1, 1, (2, SIZE, SIZE, 3)).astype(np.float32)
+        want = _tf_pose_encoder(w, tf.constant(im), final_res=SIZE).numpy()
+        got = np.asarray(
+            gen.apply(variables, jnp.asarray(im), method=gen.detect)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_full_stage1_forward_matches_tf(self, model_weights, rng):
+        """The complete training forward (reference
+        detector_translator_model.py:160-184): image-encode t, pose-encode
+        t and t+d, render 8^2 heatmaps, translate, blend."""
+        gen, variables, w = model_weights
+        hs = SIZE // 4
+        im = rng.uniform(-1, 1, (2, SIZE, SIZE, 3)).astype(np.float32)
+        fut = rng.uniform(-1, 1, (2, SIZE, SIZE, 3)).astype(np.float32)
+
+        # ------------------------------------------------------ TF oracle
+        feats = _tf_encoder(w, tf.constant(im), "image_encoder/encoder")
+        emb = ([tf.constant(im)] + feats)[-2]
+        cur_mu = _tf_pose_encoder(w, tf.constant(im), final_res=SIZE)
+        fut_mu = _tf_pose_encoder(w, tf.constant(fut), final_res=SIZE)
+        cur_map = _tf_gaussian_maps(cur_mu, (hs, hs))
+        fut_map = _tf_gaussian_maps(fut_mu, (hs, hs))
+        joint = tf.concat([emb, cur_map, fut_map], axis=-1)
+        crude, mask = _tf_translator(w, joint, final_res=SIZE)
+        final = tf.constant(im) * mask + crude * (1.0 - mask)
+
+        # ----------------------------------------------------------- flax
+        out = gen.apply(
+            variables, jnp.asarray(im), jnp.asarray(fut), train=False
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["current_mu"]), cur_mu.numpy(), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["future_mu"]), fut_mu.numpy(), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["mask"]), mask.numpy(), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["crude"]), crude.numpy(), rtol=1e-4, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["final"]), final.numpy(), rtol=1e-4, atol=1e-4
+        )
+
+
+class TestImageDiscriminatorOracle:
+    def test_patchgan_matches_tf(self, rng):
+        """reference networks/__init__.py:141-151 — the explicit-pre-pad +
+        SAME-conv idiom (pad=1 then stride-2 SAME) must match exactly."""
+        from kpvid_tpu.models import ImageDiscriminator
+
+        disc = ImageDiscriminator(dtype=jnp.float32)
+        im = rng.uniform(-1, 1, (2, SIZE, SIZE, 3)).astype(np.float32)
+        variables = jax.jit(lambda r: disc.init(r, jnp.asarray(im)))(
+            jax.random.PRNGKey(3)
+        )
+        counter = [100]
+
+        def rnd_param(leaf):
+            counter[0] += 1
+            if leaf.ndim == 1:
+                r = np.random.default_rng(counter[0])
+                return leaf + jnp.asarray(r.normal(0, 0.1, leaf.shape), jnp.float32)
+            return leaf
+
+        variables = {"params": jax.tree.map(rnd_param, variables["params"])}
+
+        mapping = map_names(variables, "stage1_discr")
+        flat, _ = jax.tree_util.tree_flatten_with_path(variables)
+        w = {}
+        for path, leaf in flat:
+            key = tuple(_key_name(k) for k in path)
+            assert key in mapping, f"unmapped flax leaf {key}"
+            w[mapping[key]] = np.asarray(leaf, np.float32)
+
+        def pad_conv(x, scope, stride, use_bias=True):
+            x = tf.pad(x, [[0, 0], [1, 1], [1, 1], [0, 0]])
+            kernel = tf.constant(w[f"{scope}/conv2d/kernel"])
+            y = tf.nn.conv2d(
+                x, kernel, strides=[1, stride, stride, 1], padding="SAME"
+            )
+            if use_bias:
+                y = y + tf.constant(w[f"{scope}/conv2d/bias"])
+            return y
+
+        x = tf.constant(im)
+        for i in range(6):
+            x = tf.nn.leaky_relu(pad_conv(x, f"img_discr/conv_{i}", 2), 0.01)
+        want = pad_conv(x, "img_discr/D_logit", 1, use_bias=False).numpy()
+
+        got = np.asarray(disc.apply(variables, jnp.asarray(im)))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+class TestVggPerceptualOracle:
+    def test_vgg_features_and_loss_match_tf(self, rng):
+        """reference models/networks/vgg.py:13-61 + the perceptual loss of
+        detector_translator_model.py:262-289, rebuilt with tf.nn.conv2d /
+        tf.nn.max_pool on the same (synthesized) weight dict."""
+        from kpvid_tpu.losses import synthesize_vgg19_params
+        from kpvid_tpu.losses.perceptual import (
+            VGG19_LAYOUT,
+            VGG_FEATURE_LAYERS,
+            perceptual_loss,
+            vgg19_features,
+        )
+
+        del VGG19_LAYOUT, VGG_FEATURE_LAYERS  # used by the _tf_vgg_taps helper
+        params = synthesize_vgg19_params()
+        rgb = rng.uniform(0, 255, (2, SIZE, SIZE, 3)).astype(np.float32)
+
+        taps = _tf_vgg_taps(params, rgb)
+        got = vgg19_features(params, jnp.asarray(rgb))
+        assert len(got) == len(taps) == 5
+        for g_f, t_f in zip(got, taps):
+            # activations reach O(100) after 16 conv layers; atol scales
+            # with the f32 accumulation noise of that depth
+            np.testing.assert_allclose(
+                np.asarray(g_f), t_f.numpy(), rtol=2e-4, atol=5e-3
+            )
+
+        # full loss: mean over layers of mean |feat_gt - feat_pred|
+        # (reference detector_translator_model.py:267-272)
+        gt = rng.uniform(0, 255, (2, SIZE, SIZE, 3)).astype(np.float32)
+        pred = rng.uniform(0, 255, (2, SIZE, SIZE, 3)).astype(np.float32)
+        want_layers = []
+        for g_f, p_f in zip(
+            _tf_vgg_taps(params, gt), _tf_vgg_taps(params, pred)
+        ):
+            want_layers.append(tf.reduce_mean(tf.abs(g_f - p_f)))
+        want = float(tf.reduce_mean(tf.stack(want_layers)))
+        got_loss = float(perceptual_loss(params, jnp.asarray(gt), jnp.asarray(pred)))
+        np.testing.assert_allclose(got_loss, want, rtol=1e-5)
+
+
+def _tf_vgg_taps(params, rgb):
+    from kpvid_tpu.losses.perceptual import VGG19_LAYOUT, VGG_FEATURE_LAYERS
+
+    mean = [103.939, 116.779, 123.68]
+    r, g, b = tf.split(tf.constant(rgb), 3, axis=3)
+    x = tf.concat([b - mean[0], g - mean[1], r - mean[2]], axis=3)
+    taps = []
+    for name, _, pool in VGG19_LAYOUT:
+        x = tf.nn.conv2d(x, tf.constant(params[name]["kernel"]), [1, 1, 1, 1], "SAME")
+        x = tf.nn.relu(tf.nn.bias_add(x, tf.constant(params[name]["bias"])))
+        if name in VGG_FEATURE_LAYERS:
+            taps.append(x)
+            if len(taps) == len(VGG_FEATURE_LAYERS):
+                break
+        if pool:
+            x = tf.nn.max_pool(x, [1, 2, 2, 1], [1, 2, 2, 1], "SAME")
+    return taps
