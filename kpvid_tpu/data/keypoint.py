@@ -3,15 +3,28 @@
 Counterpart of reference data/keypoint_dataloader.py, REDESIGNED for TPU:
 the reference zero-pads every video to 663 frames and feeds batch-1 tensors
 of [663,128,128,3] (~130 MB/sample; reference :77-80). Fixed-shape XLA
-programs want constant chunk shapes instead: `iter_videos` yields
-(video_id, n_frames, frames[len,H,W,3]) and `chunk_frames` re-blocks any
-length into [chunk, H, W, 3] slabs (last one zero-padded), so the pose
-encoder compiles exactly once and videos of any length stream through.
+programs want constant chunk shapes instead:
+
+- `iter_videos` yields (video_id, n_frames, frames[len,H,W,3]);
+- `prefetch_videos` decodes the NEXT video(s) on a background thread while
+  the device labels the current one (host PIL decode is the bottleneck on
+  small hosts);
+- `pack_chunks` re-blocks the whole frame STREAM into [chunk, H, W, 3]
+  slabs that span video boundaries — short videos share slabs, so only the
+  final slab of the entire run carries zero padding — and reports which
+  rows belong to which video;
+- `chunk_frames` is the simpler per-video variant (kept for single-video
+  use and tests).
+
+The pose encoder compiles exactly once and videos of any length stream
+through with decode, H2D, compute, and save all overlapping.
 """
 
 from __future__ import annotations
 
-from typing import Iterator
+import queue
+import threading
+from typing import Iterable, Iterator
 
 import numpy as np
 
@@ -62,3 +75,63 @@ def chunk_frames(frames: np.ndarray, chunk: int) -> Iterator[np.ndarray]:
             pad = np.zeros((chunk - slab.shape[0],) + frames.shape[1:], frames.dtype)
             slab = np.concatenate([slab, pad], axis=0)
         yield slab
+
+
+def prefetch_videos(
+    videos: Iterable[tuple[int, int, np.ndarray]], depth: int = 2
+) -> Iterator[tuple[int, int, np.ndarray]]:
+    """Run a video iterator on a daemon thread, `depth` items ahead, so the
+    host decode of upcoming videos overlaps device compute on the current
+    one. Exceptions in the producer re-raise in the consumer."""
+    q: queue.Queue = queue.Queue(maxsize=max(1, depth))
+    _END = object()
+
+    def producer():
+        try:
+            for item in videos:
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # surfaced to the consumer
+            q.put(e)
+
+    threading.Thread(target=producer, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
+# seg = (video_id, n_frames_in_video, frame_offset_in_video,
+#        row_offset_in_slab, count)
+Segment = tuple[int, int, int, int, int]
+
+
+def pack_chunks(
+    videos: Iterable[tuple[int, int, np.ndarray]], chunk: int
+) -> Iterator[tuple[np.ndarray, list[Segment]]]:
+    """Pack a stream of (video_id, n_frames, frames) into fixed-shape
+    [chunk, ...] slabs that SPAN video boundaries, yielding each slab with
+    the segment map needed to scatter results back per video. Zero padding
+    only ever appears in the final slab of the stream (the reference
+    instead pads EVERY video to 663 frames; keypoint_dataloader.py:77-80).
+    """
+    parts: list[np.ndarray] = []
+    segs: list[Segment] = []
+    filled = 0
+    for vid, n, frames in videos:
+        pos = 0
+        while pos < n:
+            take = min(chunk - filled, n - pos)
+            parts.append(frames[pos : pos + take])
+            segs.append((vid, n, pos, filled, take))
+            filled += take
+            pos += take
+            if filled == chunk:
+                yield np.concatenate(parts, axis=0), segs
+                parts, segs, filled = [], [], 0
+    if filled:
+        pad = np.zeros((chunk - filled,) + parts[0].shape[1:], parts[0].dtype)
+        yield np.concatenate(parts + [pad], axis=0), segs

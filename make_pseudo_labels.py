@@ -8,9 +8,13 @@ Output parity: `<data_dir>/pseudo_labels/{video_id:04d}.npy` of shape
 [n_frames, K, 2] for every train+test video (reference :98-101).
 
 TPU redesign: instead of batch-1 [663,128,128,3] zero-padded videos
-(reference data/keypoint_dataloader.py:77-80), frames stream through the
-jitted pose encoder in fixed-size chunks (one XLA compilation, any video
-length) while the NEXT video decodes on the host in parallel.
+(reference data/keypoint_dataloader.py:77-80), the whole job runs as one
+frame stream: a background thread decodes upcoming videos while the device
+labels the current slab; frames pack into fixed-size chunks ACROSS video
+boundaries (short videos share slabs — zero padding only in the very last
+slab of the run); and device dispatches stay 2 deep so H2D, pose-encoder
+compute, and the host-side result scatter/save all overlap. One XLA
+compilation for any video length.
 """
 
 from __future__ import annotations
@@ -40,7 +44,7 @@ def main():
     enable_compilation_cache()
     from kpvid_tpu.configs import load_config
     from kpvid_tpu.data import VideoFramesDataset
-    from kpvid_tpu.data.keypoint import chunk_frames
+    from kpvid_tpu.data.keypoint import pack_chunks, prefetch_videos
     from kpvid_tpu.models import Stage1Generator
     from kpvid_tpu.utils import touch_dir
     from kpvid_tpu.utils.checkpoint import (
@@ -99,17 +103,53 @@ def main():
     detect = jax.jit(lambda v, im: gen.apply(v, im, method=gen.detect))
 
     # ------------------------------------------------------------ stream
-    for subset in ("train", "test"):
-        ds = VideoFramesDataset(data_dir, subset, image_size=m_cfg.image_size)
-        n_videos = len(ds)
-        for vid, n_frames, frames in ds.iter_videos():
-            parts = [
-                np.asarray(detect(variables, jnp.asarray(slab)))
-                for slab in chunk_frames(frames, chunk)
-            ]
-            pts = np.concatenate(parts, axis=0)[:n_frames]  # [len, K, 2]
-            np.save(osp.join(out_dir, f"{vid:04d}.npy"), pts.astype(np.float32))
-        logger.info("%s set: %d videos labeled", subset, n_videos)
+    import collections
+    import time
+
+    def all_videos():
+        for subset in ("train", "test"):
+            ds = VideoFramesDataset(data_dir, subset, image_size=m_cfg.image_size)
+            logger.info("%s set: %d videos", subset, len(ds))
+            yield from ds.iter_videos()
+
+    buffers: dict[int, np.ndarray] = {}
+    remaining: dict[int, int] = {}
+    n_done = 0
+    n_frames_total = 0
+    t0 = time.perf_counter()
+
+    def drain(inflight):
+        """Read back the oldest dispatched slab (np.asarray is the hard
+        sync) and scatter its rows into per-video buffers; save completed
+        videos."""
+        nonlocal n_done, n_frames_total
+        out, segs = inflight.popleft()
+        pts = np.asarray(out)  # [chunk, K, 2]
+        for vid, n, v_off, s_off, count in segs:
+            if vid not in buffers:
+                buffers[vid] = np.empty((n, m_cfg.n_pts, 2), np.float32)
+                remaining[vid] = n
+            buffers[vid][v_off : v_off + count] = pts[s_off : s_off + count]
+            remaining[vid] -= count
+            if remaining[vid] == 0:
+                np.save(osp.join(out_dir, f"{vid:04d}.npy"), buffers.pop(vid))
+                del remaining[vid]
+                n_done += 1
+                n_frames_total += n
+
+    inflight: collections.deque = collections.deque()
+    for slab, segs in pack_chunks(prefetch_videos(all_videos(), depth=2), chunk):
+        inflight.append((detect(variables, jnp.asarray(slab)), segs))
+        if len(inflight) > 2:  # keep 2 device dispatches in flight
+            drain(inflight)
+    while inflight:
+        drain(inflight)
+    assert not remaining, f"incomplete videos: {sorted(remaining)}"
+    dt = time.perf_counter() - t0
+    logger.info(
+        "labeled %d videos / %d frames in %.1fs (%.1f frames/s)",
+        n_done, n_frames_total, dt, n_frames_total / max(dt, 1e-9),
+    )
 
 
 if __name__ == "__main__":

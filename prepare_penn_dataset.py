@@ -3,7 +3,7 @@
 
 Counterpart of the reference's prepare_penn_dataset.sh, which just copies
 pre-made split lists into the data dir (reference prepare_penn_dataset.sh:
-1-4; assets/penn_split/*: 1171 train / 89 test videos over 9 action
+1-4; assets/penn_split/*: 1172 train / 90 test videos over 9 action
 classes). This script DERIVES splits from the Penn Action release itself:
 
     python prepare_penn_dataset.py --penn-root /data/Penn_Action \
@@ -14,15 +14,22 @@ annotations), keeps the selected action classes, assigns class indices by
 sorted action name, and writes `<out>/train_set.txt` / `<out>/test_set.txt`
 lines in the reference's format: `frames/<id> <action_idx>`.
 
-If you want the reference's EXACT 9-class subset (its class-index mapping
-is not documented anywhere in its code), copy its split files into
-data_dir instead — the loaders consume either.
+The reference's EXACT 9-class subset (1172/90 videos) is vendored at
+assets/penn_split/ — install it with
+
+    python prepare_penn_dataset.py --reference-split --out-dir <data_dir>
+
+(the same effect as the reference's prepare_penn_dataset.sh). The loaders
+consume either split format identically.
 """
 
 from __future__ import annotations
 
+import shutil
 from argparse import ArgumentParser
 from pathlib import Path
+
+REFERENCE_SPLIT_DIR = Path(__file__).resolve().parent / "assets" / "penn_split"
 
 
 def read_label(mat_path: Path) -> tuple[str, bool]:
@@ -37,14 +44,28 @@ def read_label(mat_path: Path) -> tuple[str, bool]:
 
 def main():
     parser = ArgumentParser()
-    parser.add_argument("--penn-root", type=str, required=True,
+    parser.add_argument("--penn-root", type=str, default=None,
                         help="Penn Action root (contains frames/ and labels/)")
     parser.add_argument("--out-dir", type=str, required=True)
     parser.add_argument("--actions", type=str, nargs="*", default=None,
                         help="action class names to keep (sorted order = index)")
     parser.add_argument("--all", action="store_true", help="keep every class")
+    parser.add_argument("--reference-split", action="store_true",
+                        help="install the vendored reference split "
+                             "(assets/penn_split: 1172/90, 9 classes) into "
+                             "--out-dir and exit")
     args = parser.parse_args()
 
+    if args.reference_split:
+        out = Path(args.out_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        for name in ("train_set.txt", "test_set.txt"):
+            shutil.copy(REFERENCE_SPLIT_DIR / name, out / name)
+        print(f"installed the reference Penn split (1172/90, 9 classes) into {out}")
+        return
+
+    if args.penn_root is None:
+        raise SystemExit("--penn-root is required (or use --reference-split)")
     root = Path(args.penn_root)
     labels_dir = root / "labels"
     if not labels_dir.is_dir():

@@ -12,7 +12,7 @@ from pathlib import Path
 
 import pytest
 
-pytestmark = pytest.mark.skipif(
+_full_chain = pytest.mark.skipif(
     os.environ.get("KPVID_CLI_TESTS") != "1",
     reason="set KPVID_CLI_TESTS=1 to run the full CLI chain",
 )
@@ -22,8 +22,13 @@ REPO = Path(__file__).resolve().parent.parent
 
 def run(args):
     # KPVID_PLATFORM (not JAX_PLATFORMS): the image's sitecustomize
-    # overrides the env var via jax.config; the CLIs honor this one
+    # overrides the env var via jax.config; the CLIs honor this one.
+    # Drop conftest's 8-virtual-device XLA_FLAGS: these miniatures run
+    # single-device (the auto-mesh would otherwise demand batch % 8 == 0);
+    # mesh-mode CLI runs are covered by the parallel equivalence tests +
+    # the multichip dryrun.
     env = dict(os.environ, JAX_PLATFORMS="cpu", KPVID_PLATFORM="cpu")
+    env.pop("XLA_FLAGS", None)
     proc = subprocess.run(
         [sys.executable] + args, cwd=REPO, env=env,
         capture_output=True, text=True, timeout=1200,
@@ -32,6 +37,47 @@ def run(args):
     return proc
 
 
+def test_train_cli_miniature(tmp_path):
+    """Always-on CLI smoke: a 2-step stage-1 run through the REAL train.py
+    (config load, synthetic data, pipeline, jitted step, test sweep,
+    checkpoint, logs) — catches arg-plumbing regressions the library tests
+    can't. Shapes match smoke.yaml so the persistent XLA cache keeps this
+    fast; the 4-CLI chain below stays opt-in."""
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(f"""
+paths:
+  data_dir: '{tmp_path}/penn'
+  vggnet: '{tmp_path}/vgg19.npy'
+  log_dir: '{tmp_path}/results'
+training:
+  n_steps: 2
+  summary_interval: 100
+  test_interval: 1
+  checkpoint_interval: 100
+  log_interval: 1
+  batch_size: 4
+  compute_dtype: 'float32'
+model:
+  n_pts: 8
+  n_action: 9
+  cell_info: [64, 64]
+  vae_dim: 16
+  image_size: 32
+  heatmap_size: 8
+data:
+  num_workers: 2
+  labeler_chunk: 32
+  eval_batch_size: 2
+""")
+    run(["train.py", "--mode", "detector_translator", "--config", str(cfg),
+         "--synthetic", "--max-steps", "2", "--no-images"])
+    ckpts = list((tmp_path / "results" / "detector_translator").glob("ckpt-*"))
+    assert ckpts, "final checkpoint not written"
+    metrics = list((tmp_path / "results").glob("**/*.jsonl"))
+    assert metrics, "metric logs not written"
+
+
+@_full_chain
 def test_full_chain(tmp_path):
     cfg = tmp_path / "cfg.yaml"
     cfg.write_text(f"""

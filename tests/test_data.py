@@ -10,7 +10,7 @@ from kpvid_tpu.data import (
     VideoFramesDataset,
 )
 from kpvid_tpu.data.augment import center_crop_box, pair_test_crop_box, rotate_keypoints
-from kpvid_tpu.data.keypoint import chunk_frames
+from kpvid_tpu.data.keypoint import chunk_frames, pack_chunks, prefetch_videos
 from kpvid_tpu.data.synthetic import (
     make_synthetic_penn_tree,
     make_synthetic_pseudo_labels,
@@ -109,6 +109,52 @@ class TestKeypointVideos:
         tail_valid = n - (len(chunks) - 1) * 16
         if tail_valid < 16:
             assert np.all(chunks[-1][tail_valid:] == 0)
+
+    def test_pack_chunks_spans_videos_and_reassembles(self):
+        """Every frame of every video lands in exactly one slab row, in
+        order; padding only in the final slab; the segment map scatters
+        results back to per-video arrays exactly."""
+        rng = np.random.default_rng(0)
+        lengths = [5, 12, 3, 7, 1]  # mixed, mostly < chunk
+        chunk = 8
+        videos = [
+            (100 + i, n, rng.normal(size=(n, 2, 2, 1)).astype(np.float32))
+            for i, n in enumerate(lengths)
+        ]
+        slabs = list(pack_chunks(iter(videos), chunk))
+        total = sum(lengths)
+        assert len(slabs) == -(-total // chunk)
+        # padding rows appear only at the very end
+        n_pad = len(slabs) * chunk - total
+        if n_pad:
+            assert np.all(slabs[-1][0][chunk - n_pad :] == 0)
+        # reassemble per video via the segment map (simulating a per-frame
+        # device op with the identity) and compare to the source frames
+        out = {vid: np.empty((n, 2, 2, 1), np.float32) for vid, n, _ in videos}
+        counts = dict.fromkeys(out, 0)
+        for slab, segs in slabs:
+            for vid, n, v_off, s_off, count in segs:
+                out[vid][v_off : v_off + count] = slab[s_off : s_off + count]
+                counts[vid] += count
+        for vid, n, frames in videos:
+            assert counts[vid] == n
+            np.testing.assert_array_equal(out[vid], frames)
+
+    def test_prefetch_videos_order_and_errors(self):
+        videos = [(i, 2, np.full((2, 1), i, np.float32)) for i in range(5)]
+        got = list(prefetch_videos(iter(videos), depth=2))
+        assert [v[0] for v in got] == [0, 1, 2, 3, 4]
+
+        def boom():
+            yield videos[0]
+            raise RuntimeError("decode failed")
+
+        it = prefetch_videos(boom(), depth=1)
+        next(it)
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="decode failed"):
+            list(it)
 
 
 class TestAugmentMath:
