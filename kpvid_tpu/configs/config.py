@@ -97,8 +97,16 @@ class DataConfig:
     superseded by full-epoch permutation in HostDataPipeline (strictly
     better mixing, deterministic per (seed, epoch))."""
 
-    num_workers: int = 12
+    # None -> min(12, 4 * cpu_count): the reference's 12 map-threads assume
+    # a multi-core host; on few-core hosts 12 threads thrash the scheduler
+    # (measured 27 samples/s at 12 workers vs 107 at 4 on one core —
+    # docs/PERF.md "Host input pipeline").
+    num_workers: int | None = None
     prefetch: int = 2
+    # decoded-frame LRU budget (MB) for stage-1 training; 0 = off. Exact
+    # numerics (caches post-decode RGB pixels). Full Penn Action decoded is
+    # ~32 GB — size to available host RAM. See data/cache.py.
+    decode_cache_mb: float = 0.0
     # sequence loading (reference: data/sequence_dataloader.py:14)
     sequence_len: int = 33
     # pseudo-labeling (reference: data/keypoint_dataloader.py:13). The TPU

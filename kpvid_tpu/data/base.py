@@ -17,6 +17,7 @@ Datasets implement:
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from typing import Iterator, Protocol
@@ -45,7 +46,7 @@ class HostDataPipeline:
         batch_size: int,
         shuffle: bool = False,
         repeat: bool = False,
-        num_workers: int = 12,
+        num_workers: int | None = None,
         prefetch: int = 2,
         seed: int = 0,
         drop_remainder: bool | None = None,
@@ -69,6 +70,12 @@ class HostDataPipeline:
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.repeat = repeat
+        if num_workers is None:
+            # the reference's 12 tf.data map-threads assume a multi-core
+            # host (data/base_dataloader.py:48); PIL releases the GIL in
+            # its C loops so a few threads per core overlap decode+augment,
+            # but far more than that thrashes (measured: docs/PERF.md)
+            num_workers = min(12, 4 * (os.cpu_count() or 1))
         self.num_workers = max(1, num_workers)
         self.prefetch = max(1, prefetch)
         self.seed = seed

@@ -14,12 +14,14 @@ Counterpart of reference data/image_pair_dataloader.py. Behavior parity:
 from __future__ import annotations
 
 import os
+import threading
 from os import path as osp
 
 import numpy as np
 from PIL import Image
 
 from . import augment
+from .cache import FrameCache
 
 
 def read_split(data_dir: str, subset: str) -> list[tuple[str, int]]:
@@ -45,13 +47,35 @@ class ImagePairDataset:
         image_size: int = 128,
         augment_samples: bool | None = None,
         random_pairs: bool | None = None,
+        decode_cache_mb: float = 0,
     ):
+        """decode_cache_mb > 0 enables a byte-budgeted LRU of decoded RGB
+        frames shared across the pipeline's worker threads (data/cache.py)
+        — numerically exact, saves the 2 JPEG decodes per sample on a hit."""
         self.data_dir = data_dir
         self.image_size = image_size
         self.videos = read_split(data_dir, subset)
         is_train = subset == "train"
         self.augment_samples = is_train if augment_samples is None else augment_samples
         self.random_pairs = is_train if random_pairs is None else random_pairs
+        self.cache = FrameCache(decode_cache_mb) if decode_cache_mb > 0 else None
+        self._frame_counts: dict[str, int] = {}
+        self._fc_lock = threading.Lock()
+
+    def _n_frames(self, rel: str) -> int:
+        n = self._frame_counts.get(rel)
+        if n is None:
+            n = video_frame_count(self.data_dir, rel)
+            with self._fc_lock:
+                self._frame_counts[rel] = n
+        return n
+
+    def _load(self, rel: str, t: int) -> Image.Image:
+        if self.cache is None:
+            return load_frame(self.data_dir, rel, t).convert("RGB")
+        return self.cache.get(
+            (rel, t), lambda: load_frame(self.data_dir, rel, t).convert("RGB")
+        )
 
     def __len__(self) -> int:
         return len(self.videos)
@@ -62,7 +86,7 @@ class ImagePairDataset:
             # sequential index and redraws (reference :52-56)
             idx = int(rng.integers(0, len(self.videos)))
         rel, _act = self.videos[idx]
-        n_frames = video_frame_count(self.data_dir, rel)
+        n_frames = self._n_frames(rel)
 
         if self.random_pairs:
             interval = int(rng.integers(8, 12))
@@ -71,8 +95,8 @@ class ImagePairDataset:
         else:
             t, t_future = 0, min(10, n_frames - 1)
 
-        im = load_frame(self.data_dir, rel, t).convert("RGB")
-        fim = load_frame(self.data_dir, rel, t_future).convert("RGB")
+        im = self._load(rel, t)
+        fim = self._load(rel, t_future)
 
         size = self.image_size
         if self.augment_samples:

@@ -57,6 +57,35 @@ class TestImagePair:
         c = ds.sample(1, np.random.default_rng(8))
         assert np.abs(a["image"] - c["image"]).max() > 0
 
+    def test_decode_cache_is_exact(self, tree):
+        """Cached samples are bit-identical to uncached ones, on both hit
+        and miss paths, for train (augmented) and test (deterministic)."""
+        for subset in ("train", "test"):
+            plain = ImagePairDataset(tree, subset)
+            cached = ImagePairDataset(tree, subset, decode_cache_mb=64)
+            for idx in (0, 1, 0, 1, 0):  # repeats exercise the hit path
+                a = plain.sample(idx, np.random.default_rng(idx))
+                b = cached.sample(idx, np.random.default_rng(idx))
+                np.testing.assert_array_equal(a["image"], b["image"])
+                np.testing.assert_array_equal(a["future_image"], b["future_image"])
+        stats = cached.cache.stats()
+        assert stats["hits"] > 0 and stats["entries"] > 0
+
+    def test_decode_cache_lru_budget(self, tree):
+        from kpvid_tpu.data.cache import FrameCache
+
+        # each entry 1 MB; budget 3 MB -> at most 3 live entries
+        cache = FrameCache(3)
+        arr = np.zeros((512, 1024 // 2, 4), np.uint8)  # 1 MiB
+        import PIL.Image
+
+        for i in range(8):
+            cache.get(("v", i), lambda: PIL.Image.fromarray(arr[..., :3]))
+        s = cache.stats()
+        assert s["entries"] <= 4 and s["bytes"] <= 4 * arr[..., :3].nbytes
+        # most-recent key is still resident (a hit, not a re-decode)
+        cache.get(("v", 7), lambda: (_ for _ in ()).throw(AssertionError("evicted")))
+
 
 class TestSequence:
     def test_strided_branch(self, tree):

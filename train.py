@@ -77,7 +77,10 @@ def main():
 
     # ------------------------------------------------------------ datasets
     if args.mode == "detector_translator":
-        train_ds = ImagePairDataset(data_dir, "train", image_size=m_cfg.image_size)
+        train_ds = ImagePairDataset(
+            data_dir, "train", image_size=m_cfg.image_size,
+            decode_cache_mb=config.data.decode_cache_mb,
+        )
         test_ds = ImagePairDataset(data_dir, "test", image_size=m_cfg.image_size)
     else:
         kw = dict(
