@@ -47,6 +47,13 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--gif", action="store_true",
                         help="additionally write pred.gif/real.gif per sample")
+    parser.add_argument("--mesh", action="store_true",
+                        help="serve batch-parallel over a pure-DP ('data') "
+                             "mesh spanning all visible devices (params "
+                             "replicated, batch sharded over 'data'; exact — "
+                             "equivalence-tested in tests/test_parallel.py::"
+                             "test_serving_generate_dp). Ragged tail batches "
+                             "fall back to replicated compute.")
     args = parser.parse_args()
 
     import jax
@@ -95,6 +102,16 @@ def main():
         raise ValueError(f"checkpoint merge matched 0 tensors (stage1={n1}, stage2={n2})")
     logger.info("restored stage1=%d tensors from %s; stage2=%d from %s", n1, ck1, n2, ck2)
 
+    mesh = batch_sh = None
+    if args.mesh:
+        from kpvid_tpu.parallel import batch_sharding, make_mesh, replicate
+
+        mesh = make_mesh(n_model=1)
+        s1_merged = replicate(mesh, s1_merged)
+        s2_params = replicate(mesh, s2_params)
+        batch_sh = batch_sharding(mesh)
+        logger.info("serving over %d-device 'data' mesh", mesh.shape["data"])
+
     colors = get_n_colors(m_cfg.n_pts)
     generate = final.jitted_generate
     render_points = jax.jit(lambda mu: final.render_point_images(mu, colors))
@@ -117,6 +134,11 @@ def main():
         bs = batch["image"].shape[0]
         im = jnp.asarray(batch["image"])
         act = jnp.asarray(batch["action_code"])
+        if mesh is not None and bs % mesh.shape["data"] == 0:
+            im = jax.device_put(im, batch_sh)
+            act = jax.device_put(act, batch_sh)
+        # (ragged tail: inputs stay single-device-committed; XLA re-lays
+        # them out against the replicated params — exact, just unsharded)
         rng, gen_rng = jax.random.split(rng)
         out = generate(s1_merged, s2_params, im, act, gen_rng)
         cur_pts_img = np.asarray(render_points(out["current_points"]))

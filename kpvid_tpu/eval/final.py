@@ -43,6 +43,10 @@ class FinalGenerator:
             heatmap_size=m.heatmap_size,
             heatmap_inv_std=m.heatmap_inv_std,
             dtype=self.dtype,
+            # MXU-form upsampling: same stencil, ~9x faster at the serving
+            # workload where the translator runs B*T frames (docs/PERF.md);
+            # agrees with the training form to 1 bf16 ulp, parameter-free
+            upsample_mode="matmul",
         )
         self.stage2 = MotionGenerator(
             n_pts=m.n_pts,

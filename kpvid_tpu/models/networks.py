@@ -128,6 +128,11 @@ class Translator(nn.Module):
     filters: int = 256
     final_res: int | None = None
     dtype: Dtype = jnp.float32
+    # 'tf1' (training default) or 'matmul': same legacy-bilinear stencil,
+    # the matmul form rides the MXU (~9x faster at serving shapes where
+    # this op runs B*T times; docs/PERF.md round-2 profile). Values agree
+    # to 1 bf16 ulp; parameter-free, so checkpoints are interchangeable.
+    upsample_mode: str = "tf1"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool, precomputed_first: jax.Array | None = None):
@@ -157,7 +162,7 @@ class Translator(nn.Module):
                 return crude.astype(jnp.float32), mask
             x = conv_bn_relu(x, f, 3, 1, train, self.dtype, f"oct{octave}c")
             x = conv_bn_relu(x, f, 3, 1, train, self.dtype, f"oct{octave}d")
-            x = upsample2x(x)
+            x = upsample2x(x, mode=self.upsample_mode)
             if f >= 8:
                 f //= 2
             octave += 1
@@ -195,11 +200,14 @@ class Stage1Generator(nn.Module):
     heatmap_size: int = 32
     heatmap_inv_std: float = 14.3
     dtype: Dtype = jnp.float32
+    upsample_mode: str = "tf1"  # serving passes 'matmul' (see Translator)
 
     def setup(self):
         self.image_encoder = ImageEncoder(dtype=self.dtype)
         self.pose_encoder = PoseEncoder(self.n_pts, dtype=self.dtype)
-        self.translator = Translator(dtype=self.dtype)
+        self.translator = Translator(
+            dtype=self.dtype, upsample_mode=self.upsample_mode
+        )
 
     def __call__(self, im: jax.Array, future_im: jax.Array, train: bool) -> dict:
         b = im.shape[0]

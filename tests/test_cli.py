@@ -20,15 +20,18 @@ _full_chain = pytest.mark.skipif(
 REPO = Path(__file__).resolve().parent.parent
 
 
-def run(args):
+def run(args, n_devices: int | None = None):
     # KPVID_PLATFORM (not JAX_PLATFORMS): the image's sitecustomize
     # overrides the env var via jax.config; the CLIs honor this one.
     # Drop conftest's 8-virtual-device XLA_FLAGS: these miniatures run
     # single-device (the auto-mesh would otherwise demand batch % 8 == 0);
     # mesh-mode CLI runs are covered by the parallel equivalence tests +
-    # the multichip dryrun.
+    # the multichip dryrun. n_devices: opt back in to a virtual multi-
+    # device CPU for --mesh CLI runs.
     env = dict(os.environ, JAX_PLATFORMS="cpu", KPVID_PLATFORM="cpu")
     env.pop("XLA_FLAGS", None)
+    if n_devices:
+        env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n_devices}"
     proc = subprocess.run(
         [sys.executable] + args, cwd=REPO, env=env,
         capture_output=True, text=True, timeout=1200,
@@ -123,3 +126,20 @@ data:
     assert (sample / "input_im.png").exists()
     assert (sample / "pred.gif").exists()
     assert len(list((sample / "pred_seq").glob("*.png"))) == 32
+
+    # multi-chip serving from the CLI: batch 2 sharded over a 2-device
+    # 'data' mesh must reproduce the single-device predictions (DP forward
+    # has no cross-device reductions; only uint8 quantization noise allowed)
+    run(["evaluate.py", "--config", c, "--synthetic",
+         "--checkpoint_stage1", f"{tmp_path}/results/detector_translator",
+         "--checkpoint_stage2", f"{tmp_path}/results/motion_generator",
+         "--save_dir", f"{tmp_path}/eval_mesh", "--batch_size", "2",
+         "--mesh"], n_devices=2)
+    from PIL import Image
+
+    import numpy as np
+
+    for name in ("0000/pred_seq/000000.png", "0001/pred_seq/000031.png"):
+        a = np.asarray(Image.open(tmp_path / "eval" / name), np.int16)
+        b = np.asarray(Image.open(tmp_path / "eval_mesh" / name), np.int16)
+        assert np.abs(a - b).max() <= 1, name

@@ -146,3 +146,18 @@ class TestUpsample:
         x = rng.normal(size=(2, 8, 8, 4)).astype(np.float32)
         out = upsample2x(jnp.asarray(x), mode="half")
         assert out.shape == (2, 16, 16, 4)
+
+    def test_matmul_mode_matches_tf1(self, rng):
+        """The MXU-form upsample (serving path) computes the same stencil:
+        exact in f32, <= 1 ulp in bf16 (only accumulation dtype differs)."""
+        for shape in [(2, 8, 8, 5), (1, 32, 16, 3), (3, 7, 9, 4)]:
+            x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+            np.testing.assert_allclose(
+                np.asarray(upsample2x(x, mode="matmul")),
+                np.asarray(upsample2x(x, mode="tf1")),
+                rtol=1e-6, atol=1e-6,
+            )
+            xb = x.astype(jnp.bfloat16)
+            a = np.asarray(upsample2x(xb, mode="tf1"), np.float32)
+            b = np.asarray(upsample2x(xb, mode="matmul"), np.float32)
+            np.testing.assert_allclose(a, b, rtol=1e-2, atol=1e-2)

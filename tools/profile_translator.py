@@ -8,8 +8,12 @@ isolation at the serving workload (batch 16 x 32 frames = 512 images,
 bf16), reports achieved TFLOP/s and GB/s against v5e peaks, then runs the
 experiments. Results table lives in docs/PERF.md.
 
-Method per op: jit the op alone, warm it, dispatch N iters, ONE scalar
-readback (axon tunnel: block_until_ready is unreliable; see CLAUDE.md).
+Method per op: inputs are generated ON DEVICE inside a jitted builder
+(the axon tunnel moves ~5 MB/s host<->device; a single 2 GB activation
+would take minutes to upload). Timing: warm twice with a scalar-readback
+hard sync (block_until_ready is unreliable under axon; CLAUDE.md), then
+N dispatches + ONE readback.
+
 Isolated-op times exclude XLA's cross-op fusion so the sum slightly
 overstates the fused program; ratios between ops are what matter.
 """
@@ -18,27 +22,42 @@ from __future__ import annotations
 
 import sys
 import time
-from functools import partial
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from kpvid_tpu.ops.resize import upsample2x
 from kpvid_tpu.utils.cache import enable_compilation_cache
 
 V5E_PEAK_TFLOPS = 197.0  # bf16
 V5E_PEAK_GBS = 819.0  # HBM
+B = 512  # batch 16 x 32 frames
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=1)
+def _mk(key, shape):
+    return jax.random.normal(key, shape, jnp.float32).astype(jnp.bfloat16)
+
+
+def mk(seed, shape, scale=1.0):
+    out = _mk(jax.random.PRNGKey(seed), shape)
+    if scale != 1.0:
+        out = jax.jit(lambda x: x * scale)(out)
+    _ = float(jnp.asarray(out).ravel()[0])
+    return out
 
 
 def timeit(fn, args, iters=20):
-    out = fn(*args)
-    _ = float(jnp.asarray(out).ravel()[0])  # hard sync (compile + warm)
-    out = fn(*args)
-    _ = float(jnp.asarray(out).ravel()[0])
+    fn = jax.jit(fn)
+    for _ in range(2):
+        out = fn(*args)
+        _ = float(jnp.asarray(out).ravel()[0])  # hard sync
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
@@ -58,36 +77,36 @@ def conv_nchw(x, k):
     )
 
 
-def bn_relu(x, scale, bias):
-    return jax.nn.relu(x * scale + bias)
-
-
 def main():
     enable_compilation_cache()
-    rng = np.random.default_rng(0)
-    B = 512  # batch 16 x 32 frames
     rows = []
 
     def bench_conv(name, hw, cin, cout, nchw=False, iters=20):
         if nchw:
-            x = jnp.asarray(rng.standard_normal((B, cin, hw, hw)), jnp.bfloat16)
-            k = jnp.asarray(rng.standard_normal((cout, cin, 3, 3)) * 0.05, jnp.bfloat16)
-            fn = jax.jit(conv_nchw)
+            x = mk(1, (B, cin, hw, hw))
+            k = mk(2, (cout, cin, 3, 3), 0.05)
+            fn = conv_nchw
         else:
-            x = jnp.asarray(rng.standard_normal((B, hw, hw, cin)), jnp.bfloat16)
-            k = jnp.asarray(rng.standard_normal((3, 3, cin, cout)) * 0.05, jnp.bfloat16)
-            fn = jax.jit(conv)
+            x = mk(1, (B, hw, hw, cin))
+            k = mk(2, (3, 3, cin, cout), 0.05)
+            fn = conv
         dt = timeit(fn, (x, k), iters)
         flops = 2 * 9 * B * hw * hw * cin * cout
         byts = 2 * (B * hw * hw * (cin + cout) + 9 * cin * cout)
         rows.append((name, dt * 1e3, flops / dt / 1e12, byts / dt / 1e9))
+        print(f"{name:44s} {dt*1e3:8.2f} ms {flops/dt/1e12:7.1f} TF/s "
+              f"{byts/dt/1e9:6.0f} GB/s", flush=True)
         return dt
 
-    def bench_misc(name, fn, x, flops=0, byts=0, iters=20):
-        dt = timeit(jax.jit(fn), (x,), iters)
-        rows.append((name, dt * 1e3, flops / dt / 1e12 if flops else 0.0,
-                     byts / dt / 1e9 if byts else 0.0))
+    def bench_misc(name, fn, x, byts, iters=20):
+        dt = timeit(fn, (x,), iters)
+        rows.append((name, dt * 1e3, 0.0, byts / dt / 1e9))
+        print(f"{name:44s} {dt*1e3:8.2f} ms {'':11s} {byts/dt/1e9:6.0f} GB/s",
+              flush=True)
         return dt
+
+    print(f"serving workload: {B} frames/call, bf16, v5e peaks "
+          f"{V5E_PEAK_TFLOPS:.0f} TF/s | {V5E_PEAK_GBS:.0f} GB/s\n", flush=True)
 
     # ---- the translator's convs at serving shapes (128^2 model, K=40)
     bench_conv("oct0a 32^2 208->256", 32, 208, 256)
@@ -101,49 +120,31 @@ def main():
 
     # ---- non-conv ops
     for hw, c in ((32, 256), (64, 128)):
-        x = jnp.asarray(rng.standard_normal((B, hw, hw, c)), jnp.bfloat16)
+        x = mk(3, (B, hw, hw, c))
         nb = 2 * (B * hw * hw * c * 5)  # read + 4x write
-        bench_misc(f"upsample2x {hw}->{2*hw} {c}ch", upsample2x, x, byts=nb)
+        bench_misc(f"upsample2x {hw}->{2*hw} {c}ch", upsample2x, x, nb)
     for hw, c in ((32, 256), (64, 128), (128, 64)):
-        x = jnp.asarray(rng.standard_normal((B, hw, hw, c)), jnp.bfloat16)
-        s = jnp.asarray(rng.standard_normal((c,)), jnp.bfloat16)
-        b = jnp.asarray(rng.standard_normal((c,)), jnp.bfloat16)
+        x = mk(4, (B, hw, hw, c))
         nb = 2 * (2 * B * hw * hw * c)
-        dt = timeit(jax.jit(partial(bn_relu)), (x, s, b))
-        rows.append((f"bn+relu {hw}^2 {c}ch", dt * 1e3, 0.0, nb / dt / 1e9))
-
-    print(f"\n{'op':42s} {'ms':>8s} {'TFLOP/s':>9s} {'GB/s':>7s}  (v5e peaks: "
-          f"{V5E_PEAK_TFLOPS:.0f} TF/s, {V5E_PEAK_GBS:.0f} GB/s)")
-    for name, ms, tf, gb in rows:
-        print(f"{name:42s} {ms:8.2f} {tf:9.1f} {gb:7.0f}")
-    rows.clear()
+        bench_misc(f"bn+relu {hw}^2 {c}ch",
+                   lambda t: jax.nn.relu(t * 1.1 + 0.1), x, nb)
 
     # ---- layout experiments -------------------------------------------
-    print("\n--- layout experiments (same math, different layout) ---")
+    print("\n--- layout experiments (same math, different layout) ---", flush=True)
     bench_conv("pad oct2a: 128^2 128->128", 128, 128, 128)
-    bench_conv("pad oct2b: 128^2 128->128", 128, 128, 128)
     bench_conv("NCHW oct2a 128^2 128->64", 128, 128, 64, nchw=True)
     bench_conv("NCHW oct2b 128^2 64->64", 128, 64, 64, nchw=True)
     bench_conv("NCHW oct1bcd 64^2 128->128", 64, 128, 128, nchw=True)
     bench_conv("NCHW oct0bcd 32^2 256->256", 32, 256, 256, nchw=True)
 
-    # fused alternative for the 128^2 octave: fold upsample2x into oct2a by
-    # a stride-2 transposed conv with the composed kernel (exact: upsample
-    # is linear). kernel k' has taps k * bilinear weights -> 6x6 stride 2.
-    x64 = jnp.asarray(rng.standard_normal((B, 64, 64, 128)), jnp.bfloat16)
-    k = jnp.asarray(rng.standard_normal((3, 3, 128, 64)) * 0.05, jnp.bfloat16)
-
-    def up_then_conv(x, k):
-        return conv(upsample2x(x), k)
-
-    dt = timeit(jax.jit(up_then_conv), (x64, k))
+    # fuse test: up2x immediately followed by conv (can XLA fuse away the
+    # materialized 2x activation?)
+    x64 = mk(5, (B, 64, 64, 128))
+    k = mk(6, (3, 3, 128, 64), 0.05)
+    dt = timeit(lambda x, kk: conv(upsample2x(x), kk), (x64, k))
     flops = 2 * 9 * B * 128 * 128 * 128 * 64
-    print(f"{'up2x+conv 64->128^2 128->64 (current)':42s} {dt*1e3:8.2f} "
-          f"{flops/dt/1e12:9.1f}")
-
-    print(f"\n{'op':42s} {'ms':>8s} {'TFLOP/s':>9s} {'GB/s':>7s}")
-    for name, ms, tf, gb in rows:
-        print(f"{name:42s} {ms:8.2f} {tf:9.1f} {gb:7.0f}")
+    print(f"{'up2x+conv 64->128^2 128->64 (fused?)':44s} {dt*1e3:8.2f} ms "
+          f"{flops/dt/1e12:7.1f} TF/s", flush=True)
 
 
 if __name__ == "__main__":
