@@ -87,6 +87,14 @@ class ModelConfig:
     encoder_filters: int = 32
     translator_filters: int = 256  # networks/__init__.py:75
     pose_decoder_filters: int = 128  # networks/__init__.py:36
+    # 2x upsample formulation in the translator: 'tf1' (elementwise
+    # interleave) or 'matmul' (same legacy-bilinear stencil as two dense
+    # matmuls on the MXU). BIT-identical outputs — the stencil weights are
+    # 1 and 0.5, and rounding commutes with exact power-of-two scaling:
+    # round_dt((x+y)/2) == round_dt(x+y)/2 — so this is purely a speed
+    # knob (ops/resize.py; measured in docs/PERF.md). Serving always uses
+    # 'matmul'.
+    upsample_mode: str = "tf1"
 
 
 @dataclasses.dataclass
@@ -156,6 +164,8 @@ class Config:
             raise ValueError(f"unknown gan_step_mode {t.gan_step_mode!r}")
         if t.bn_eval_mode not in ("inference", "train"):
             raise ValueError(f"unknown bn_eval_mode {t.bn_eval_mode!r}")
+        if m.upsample_mode not in ("tf1", "matmul"):
+            raise ValueError(f"unknown model.upsample_mode {m.upsample_mode!r}")
         if t.compute_dtype not in ("bfloat16", "float32"):
             raise ValueError(f"unknown compute_dtype {t.compute_dtype!r}")
         if t.batch_size <= 0:

@@ -58,6 +58,7 @@ class Stage1Trainer:
             heatmap_size=m.heatmap_size,
             heatmap_inv_std=m.heatmap_inv_std,
             dtype=self.dtype,
+            upsample_mode=m.upsample_mode,
         )
         self.discriminator = ImageDiscriminator(dtype=self.dtype)
         self.vgg_params = jax.tree.map(jnp.asarray, vgg_params)
