@@ -351,3 +351,189 @@ def _tf_vgg_taps(params, rgb):
         if pool:
             x = tf.nn.max_pool(x, [1, 2, 2, 1], [1, 2, 2, 1], "SAME")
     return taps
+
+
+# ---------------------------------------------------- stage-2 (motion VAE)
+def _tf_lstm_stack(w, scope, rnn_scope, xs, n_layers):
+    """TF1 tf.nn.rnn_cell.LSTMCell stack, stepped over [B, T, D].
+
+    Reference models/networks/layers.py:17-21 builds LSTMCell(name=
+    'basic_lstm_cell', state_is_tuple=True); its cell math (TF1
+    rnn_cell_impl.LSTMCell.call, no peepholes/projection) is
+        i, j, f, o = split(matmul([x, h], kernel) + bias, 4)
+        c' = sigmoid(f + forget_bias=1.0) * c + sigmoid(i) * tanh(j)
+        h' = sigmoid(o) * tanh(c')
+    composed here from the same tf kernels (matmul/sigmoid/tanh).
+    Returns per-step outputs [B, T, H_last].
+    """
+    mid = "rnn/multi_rnn_cell" if rnn_scope else "multi_rnn_cell"
+    kernels = [
+        tf.constant(w[f"{scope}/{mid}/cell_{i}/basic_lstm_cell/kernel"])
+        for i in range(n_layers)
+    ]
+    biases = [
+        tf.constant(w[f"{scope}/{mid}/cell_{i}/basic_lstm_cell/bias"])
+        for i in range(n_layers)
+    ]
+    b = xs.shape[0]
+    states = [
+        (tf.zeros((b, k.shape[-1] // 4)), tf.zeros((b, k.shape[-1] // 4)))
+        for k in kernels
+    ]
+    outs = []
+    for t in range(xs.shape[1]):
+        inp = xs[:, t, :]
+        for li in range(n_layers):
+            c, h = states[li]
+            gates = tf.matmul(tf.concat([inp, h], axis=-1), kernels[li]) + biases[li]
+            i, j, f, o = tf.split(gates, 4, axis=-1)
+            c2 = tf.sigmoid(f + 1.0) * c + tf.sigmoid(i) * tf.tanh(j)
+            h2 = tf.sigmoid(o) * tf.tanh(c2)
+            states[li] = (c2, h2)
+            inp = h2
+        outs.append(inp)
+    return tf.stack(outs, axis=1)
+
+
+def _tf_fc_relu(w, scope, x):
+    # tf.contrib.layers.fully_connected DEFAULT activation is relu (Q6)
+    return tf.nn.relu(
+        tf.matmul(x, tf.constant(w[f"{scope}/fully_connected/weights"]))
+        + tf.constant(w[f"{scope}/fully_connected/biases"])
+    )
+
+
+class TestStage2ForwardOracle:
+    """MotionGenerator / SeqDiscriminator vs a TF rebuild of reference
+    models/networks/__init__.py:105-138 on transcoded weights."""
+
+    CELLS = (32, 48)
+    VAE_DIM = 8
+    N_FUT = 5
+    N_ACT = 4
+
+    @pytest.fixture(scope="class")
+    def stage2_weights(self):
+        from kpvid_tpu.models import MotionGenerator
+
+        gen = MotionGenerator(
+            n_pts=N_PTS, n_future=self.N_FUT, cell_info=self.CELLS,
+            vae_dim=self.VAE_DIM, dtype=jnp.float32,
+        )
+        variables = jax.jit(
+            lambda r: gen.init(
+                r,
+                jnp.zeros((1, self.N_FUT, 2 * N_PTS)),
+                jnp.zeros((1, 2 * N_PTS)),
+                jnp.zeros((1, self.N_ACT)),
+                jnp.zeros((1, self.VAE_DIM)),
+            )
+        )(jax.random.PRNGKey(3))
+        # randomize zero-init biases so every oracle term is nontrivial
+        counter = [100]
+
+        def rnd(leaf):
+            counter[0] += 1
+            if leaf.ndim == 1:
+                r = np.random.default_rng(counter[0])
+                return leaf + jnp.asarray(r.normal(0, 0.2, leaf.shape), jnp.float32)
+            return leaf
+
+        variables = {"params": jax.tree.map(rnd, variables["params"])}
+        mapping = map_names(variables, "stage2")
+        flat, _ = jax.tree_util.tree_flatten_with_path(variables)
+        weights = {}
+        for path, leaf in flat:
+            key = tuple(_key_name(k) for k in path)
+            assert key in mapping, f"unmapped stage-2 leaf {key}"
+            weights[mapping[key]] = np.asarray(leaf, np.float32)
+        return gen, variables, weights
+
+    def test_encode_matches_tf(self, stage2_weights, rng):
+        gen, variables, w = stage2_weights
+        b = 3
+        seq = rng.uniform(-1, 1, (b, self.N_FUT, 2 * N_PTS)).astype(np.float32)
+        f_pt = rng.uniform(-1, 1, (b, 2 * N_PTS)).astype(np.float32)
+        act = np.eye(self.N_ACT, dtype=np.float32)[[0, 1, 2]]
+
+        # reference vae_encoder (:105-113): dynamic_rnn -> last output ++
+        # f_pt ++ act -> relu'd FC -> split mu/stddev
+        outs = _tf_lstm_stack(w, "vae_encoder", True, tf.constant(seq), len(self.CELLS))
+        logit = _tf_fc_relu(
+            w, "vae_encoder",
+            tf.concat([outs[:, -1, :], tf.constant(f_pt), tf.constant(act)], axis=-1),
+        )
+        want_mu = logit[:, : self.VAE_DIM].numpy()
+        want_sd = logit[:, self.VAE_DIM:].numpy()
+
+        got_mu, got_sd = gen.apply(
+            variables, jnp.asarray(seq), jnp.asarray(f_pt), jnp.asarray(act),
+            method=gen.encode,
+        )
+        np.testing.assert_allclose(np.asarray(got_mu), want_mu, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(got_sd), want_sd, rtol=1e-5, atol=1e-6)
+
+    def test_decode_matches_tf(self, stage2_weights, rng):
+        gen, variables, w = stage2_weights
+        b = 3
+        z = rng.normal(size=(b, self.VAE_DIM)).astype(np.float32)
+        f_pt = rng.uniform(-1, 1, (b, 2 * N_PTS)).astype(np.float32)
+        act = np.eye(self.N_ACT, dtype=np.float32)[[1, 3, 0]]
+
+        # reference vae_decoder (:116-129): relu'd FC -> step 0 input, zero
+        # inputs for steps 1..T-1, shared tanh to_coord head per step
+        inp0 = _tf_fc_relu(
+            w, "vae_decoder",
+            tf.concat([tf.constant(z), tf.constant(f_pt), tf.constant(act)], axis=-1),
+        )
+        xs = tf.concat(
+            [inp0[:, None, :], tf.zeros((b, self.N_FUT - 1, inp0.shape[-1]))], axis=1
+        )
+        outs = _tf_lstm_stack(w, "vae_decoder", False, xs, len(self.CELLS))
+        W = tf.constant(w["vae_decoder/fully_connected/W"])
+        bb = tf.constant(w["vae_decoder/fully_connected/b"])
+        want = tf.stack(
+            [tf.tanh(tf.matmul(outs[:, t, :], W) + bb) for t in range(self.N_FUT)],
+            axis=1,
+        ).numpy()
+
+        got = gen.apply(
+            variables, jnp.asarray(z), jnp.asarray(f_pt), jnp.asarray(act),
+            method=gen.decode,
+        )
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
+
+    def test_seq_discr_matches_tf(self, rng):
+        """reference seq_discr (:132-138): LSTM stack -> relu'd per-step FC
+        -> LAST step's logit (the flax module computes the head on the last
+        step only — same value)."""
+        from kpvid_tpu.models import SeqDiscriminator
+
+        disc = SeqDiscriminator(cell_info=self.CELLS, dtype=jnp.float32)
+        seq0 = jnp.zeros((1, self.N_FUT, 2 * N_PTS))
+        variables = jax.jit(lambda r: disc.init(r, seq0))(jax.random.PRNGKey(5))
+        counter = [200]
+
+        def rnd(leaf):
+            counter[0] += 1
+            if leaf.ndim == 1:
+                r = np.random.default_rng(counter[0])
+                return leaf + jnp.asarray(r.normal(0, 0.2, leaf.shape), jnp.float32)
+            return leaf
+
+        variables = {"params": jax.tree.map(rnd, variables["params"])}
+        mapping = map_names(variables, "stage2_discr")
+        flat, _ = jax.tree_util.tree_flatten_with_path(variables)
+        w = {}
+        for path, leaf in flat:
+            key = tuple(_key_name(k) for k in path)
+            assert key in mapping, f"unmapped seq-discr leaf {key}"
+            w[mapping[key]] = np.asarray(leaf, np.float32)
+
+        b = 3
+        seq = rng.uniform(-1, 1, (b, self.N_FUT, 2 * N_PTS)).astype(np.float32)
+        outs = _tf_lstm_stack(w, "seq_discr", True, tf.constant(seq), len(self.CELLS))
+        want = _tf_fc_relu(w, "seq_discr", outs[:, -1, :]).numpy()
+
+        got = disc.apply(variables, jnp.asarray(seq))
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
