@@ -95,6 +95,10 @@ class ModelConfig:
     # knob (ops/resize.py; measured in docs/PERF.md). Serving always uses
     # 'matmul'.
     upsample_mode: str = "tf1"
+    # lax.scan unroll for the LSTM stacks (identical numerics; fewer loop
+    # iterations + cross-step fusion at the cost of code size / compile
+    # time; SURVEY §5.7). Swept in tools/profile_train_step.py.
+    lstm_unroll: int = 1
 
 
 @dataclasses.dataclass
@@ -166,6 +170,8 @@ class Config:
             raise ValueError(f"unknown bn_eval_mode {t.bn_eval_mode!r}")
         if m.upsample_mode not in ("tf1", "matmul"):
             raise ValueError(f"unknown model.upsample_mode {m.upsample_mode!r}")
+        if m.lstm_unroll < 1:
+            raise ValueError("model.lstm_unroll must be >= 1")
         if t.compute_dtype not in ("bfloat16", "float32"):
             raise ValueError(f"unknown compute_dtype {t.compute_dtype!r}")
         if t.batch_size <= 0:

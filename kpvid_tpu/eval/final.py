@@ -54,6 +54,7 @@ class FinalGenerator:
             cell_info=tuple(m.cell_info),
             vae_dim=m.vae_dim,
             dtype=self.dtype,
+            lstm_unroll=m.lstm_unroll,
         )
 
     def init_variables(self, rng: jax.Array) -> tuple[dict, dict]:

@@ -104,6 +104,10 @@ class StackedLSTM(nn.Module):
 
     features: Sequence[int]
     dtype: Dtype = jnp.float32
+    # lax.scan unroll factor: >1 trades compile time/code size for fewer
+    # loop iterations and cross-step fusion (SURVEY §5.7 "lax.scan with
+    # unroll tuning"); numerics identical. Sweep: tools/profile_train_step.
+    unroll: int = 1
 
     @nn.compact
     def __call__(self, xs: jax.Array, return_final_state: bool = False):
@@ -154,7 +158,7 @@ class StackedLSTM(nn.Module):
             for h in self.features
         )
         xs_t = jnp.swapaxes(xs, 0, 1)  # [T, B, D]
-        final_state, ys = jax.lax.scan(scan_body, init, xs_t)
+        final_state, ys = jax.lax.scan(scan_body, init, xs_t, unroll=self.unroll)
         outputs = jnp.swapaxes(ys, 0, 1)  # [B, T, H]
         if return_final_state:
             return outputs, final_state

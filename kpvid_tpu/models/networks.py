@@ -308,12 +308,17 @@ class MotionGenerator(nn.Module):
     cell_info: Sequence[int] = (1024, 1024)
     vae_dim: int = 64
     dtype: Dtype = jnp.float32
+    lstm_unroll: int = 1  # lax.scan unroll (speed knob, identical numerics)
 
     def setup(self):
-        self.enc_lstm = StackedLSTM(tuple(self.cell_info), dtype=self.dtype)
+        self.enc_lstm = StackedLSTM(
+            tuple(self.cell_info), dtype=self.dtype, unroll=self.lstm_unroll
+        )
         self.enc_head = Dense(2 * self.vae_dim, relu=True, dtype=self.dtype)
         self.dec_in = Dense(32, relu=True, dtype=self.dtype)
-        self.dec_lstm = StackedLSTM(tuple(self.cell_info), dtype=self.dtype)
+        self.dec_lstm = StackedLSTM(
+            tuple(self.cell_info), dtype=self.dtype, unroll=self.lstm_unroll
+        )
         self.to_coord = Dense(2 * self.n_pts, tanh_coord=True, dtype=self.dtype)
 
     def encode(self, real_seq: jax.Array, first_pt: jax.Array, act: jax.Array):
@@ -359,8 +364,11 @@ class SeqDiscriminator(nn.Module):
 
     cell_info: Sequence[int] = (1024, 1024)
     dtype: Dtype = jnp.float32
+    lstm_unroll: int = 1
 
     @nn.compact
     def __call__(self, seq: jax.Array) -> jax.Array:
-        outs = StackedLSTM(tuple(self.cell_info), dtype=self.dtype)(seq)
+        outs = StackedLSTM(
+            tuple(self.cell_info), dtype=self.dtype, unroll=self.lstm_unroll
+        )(seq)
         return Dense(1, relu=True, dtype=self.dtype)(outs[:, -1, :])

@@ -42,9 +42,11 @@ class Stage2Trainer:
             cell_info=tuple(m.cell_info),
             vae_dim=m.vae_dim,
             dtype=self.dtype,
+            lstm_unroll=m.lstm_unroll,
         )
         self.discriminator = SeqDiscriminator(
-            cell_info=tuple(m.cell_info), dtype=self.dtype
+            cell_info=tuple(m.cell_info), dtype=self.dtype,
+            lstm_unroll=m.lstm_unroll,
         )
         self.g_opt = make_optimizer(config.training.lr)
         self.d_opt = make_optimizer(config.training.lr)

@@ -48,6 +48,12 @@ def time_steps(step_fn, state, batches, iters=20):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-stage1", action="store_true")
+    args = ap.parse_args()
+
     enable_compilation_cache()
     from kpvid_tpu.configs import Config
     from kpvid_tpu.losses import synthesize_vgg19_params
@@ -64,7 +70,7 @@ def main():
     print(f"production config: {m.image_size}^2, K={m.n_pts}, batch {bs}, "
           f"{base.training.compute_dtype}", flush=True)
 
-    for mode in ("tf1", "matmul"):
+    for mode in () if args.skip_stage1 else ("tf1", "matmul"):
         cfg = dataclasses.replace(
             base, model=dataclasses.replace(base.model, upsample_mode=mode)
         ).validate()
@@ -84,11 +90,7 @@ def main():
               f"{1/dt:5.1f} steps/s  {bs/dt:6.0f} examples/s", flush=True)
         del state, s1
 
-    # stage-2 (no upsample in its graph; one timing)
-    cfg = base
-    s2 = Stage2Trainer(cfg)
-    state2 = s2.init_state(jax.random.PRNGKey(2))
-    sync(state2.g_params)
+    # stage-2: sweep the LSTM scan unroll factor (no upsample in its graph)
     batches2 = []
     for i in range(4):
         b = {
@@ -99,13 +101,21 @@ def main():
         }
         sync(b)
         batches2.append(b)
+    for unroll in (1, 4, 8, 32):
+        cfg = dataclasses.replace(
+            base, model=dataclasses.replace(base.model, lstm_unroll=unroll)
+        ).validate()
+        s2 = Stage2Trainer(cfg)
+        state2 = s2.init_state(jax.random.PRNGKey(2))
+        sync(state2.g_params)
 
-    def step2(state, batch, _k=jax.random.PRNGKey(9)):
-        return s2.jitted_train_step(state, batch, _k)
+        def step2(state, batch, _s2=s2, _k=jax.random.PRNGKey(9)):
+            return _s2.jitted_train_step(state, batch, _k)
 
-    dt, _ = time_steps(step2, state2, batches2)
-    print(f"stage-2                    : {dt*1e3:6.1f} ms/step  "
-          f"{1/dt:5.1f} steps/s  {bs/dt:6.0f} examples/s", flush=True)
+        dt, _ = time_steps(step2, state2, batches2)
+        print(f"stage-2 lstm_unroll={unroll:2d}     : {dt*1e3:6.1f} ms/step  "
+              f"{1/dt:5.1f} steps/s  {bs/dt:6.0f} examples/s", flush=True)
+        del s2, state2
 
 
 if __name__ == "__main__":
