@@ -24,6 +24,22 @@ def test_gaussian_render_matches_jnp(rng):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+def test_pose_head_small_heatmap(rng):
+    """H < the 32-row tile: the kernel must size its tile to H (regression
+    for the round-1 advisor finding on the fixed _TILE_H scratch slice)."""
+    raw = jnp.asarray(rng.normal(size=(2, 16, 16, 8)), jnp.float32)
+    got = np.asarray(pose_head_pallas(raw, interpret=True))
+    want = np.asarray(heatmaps_to_keypoints(raw))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_gaussian_render_small_height(rng):
+    mu = jnp.asarray(rng.uniform(-1, 1, (2, 8, 2)), jnp.float32)
+    got = np.asarray(gaussian_render_pallas(mu, 8, 16, interpret=True))
+    want = np.asarray(render_gaussian_maps(mu, 8, 16))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
 def test_roundtrip_pallas(rng):
     mu = jnp.asarray(rng.uniform(-0.6, 0.6, (1, 4, 2)), jnp.float32)
     maps = gaussian_render_pallas(mu, 64, 64, interpret=True)
