@@ -87,13 +87,14 @@ class ModelConfig:
     encoder_filters: int = 32
     translator_filters: int = 256  # networks/__init__.py:75
     pose_decoder_filters: int = 128  # networks/__init__.py:36
-    # 2x upsample formulation in the translator: 'tf1' (elementwise
-    # interleave) or 'matmul' (same legacy-bilinear stencil as two dense
-    # matmuls on the MXU). BIT-identical outputs — the stencil weights are
-    # 1 and 0.5, and rounding commutes with exact power-of-two scaling:
-    # round_dt((x+y)/2) == round_dt(x+y)/2 — so this is purely a speed
-    # knob (ops/resize.py; measured in docs/PERF.md). Serving always uses
-    # 'matmul'.
+    # 2x upsample formulation in the translator — purely a speed knob
+    # (ops/resize.py; measured in docs/PERF.md):
+    # 'tf1'    elementwise interleave (training default),
+    # 'matmul' the same legacy-bilinear stencil as two dense matmuls on
+    #          the MXU; BIT-identical (weights 1 and 0.5: rounding
+    #          commutes with exact power-of-two scaling),
+    # 'fused'  fold each upsample into the following conv as one
+    #          input-dilated 5x5 conv (exact; serving default).
     upsample_mode: str = "tf1"
     # lax.scan unroll for the LSTM stacks (identical numerics; fewer loop
     # iterations + cross-step fusion at the cost of code size / compile
@@ -168,7 +169,7 @@ class Config:
             raise ValueError(f"unknown gan_step_mode {t.gan_step_mode!r}")
         if t.bn_eval_mode not in ("inference", "train"):
             raise ValueError(f"unknown bn_eval_mode {t.bn_eval_mode!r}")
-        if m.upsample_mode not in ("tf1", "matmul"):
+        if m.upsample_mode not in ("tf1", "matmul", "fused"):
             raise ValueError(f"unknown model.upsample_mode {m.upsample_mode!r}")
         if m.lstm_unroll < 1:
             raise ValueError("model.lstm_unroll must be >= 1")

@@ -43,10 +43,11 @@ class FinalGenerator:
             heatmap_size=m.heatmap_size,
             heatmap_inv_std=m.heatmap_inv_std,
             dtype=self.dtype,
-            # MXU-form upsampling: same stencil, ~9x faster at the serving
-            # workload where the translator runs B*T frames (docs/PERF.md);
-            # agrees with the training form to 1 bf16 ulp, parameter-free
-            upsample_mode="matmul",
+            # fused upsample+conv: each 2x upsample folds into the next
+            # conv as one input-dilated 5x5 conv — exact, and ~2.5x faster
+            # than materializing the upsample at the serving workload where
+            # the translator runs B*T frames (docs/PERF.md round-2 profile)
+            upsample_mode="fused",
         )
         self.stage2 = MotionGenerator(
             n_pts=m.n_pts,

@@ -26,11 +26,58 @@ Dtype = Any
 xavier_uniform = nn.initializers.xavier_uniform()
 
 
+class _ConvCore(nn.Module):
+    """Parameter-owning conv core. Named "Conv_0" by its parent so the
+    param tree ({Conv_0: {kernel, bias}}) and the per-path param RNG stay
+    IDENTICAL to the nn.Conv wrapper this replaced — checkpoints, the TF1
+    transcoder, and init values are all unchanged. Owning the params lets
+    the serving path reuse them in the fused upsample+conv kernel
+    (ops/resize.py::up2_conv3) without a second parameter set."""
+
+    features: int
+    kernel: int
+    stride: int
+    use_bias: bool
+    dtype: Dtype
+
+    @nn.compact
+    def __call__(self, x: jax.Array, pre_up2: bool = False) -> jax.Array:
+        k = self.param(
+            "kernel", xavier_uniform,
+            (self.kernel, self.kernel, x.shape[-1], self.features), jnp.float32,
+        )
+        b = (
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        x = x.astype(self.dtype)
+        k = k.astype(self.dtype)
+        b = None if b is None else b.astype(self.dtype)
+        if pre_up2:
+            # fused conv3x3_SAME(upsample2x(x)): exact, ~2.5x faster than
+            # materializing the upsample (serving path; docs/PERF.md)
+            assert self.kernel == 3 and self.stride == 1
+            from ..ops.resize import up2_conv3
+
+            return up2_conv3(x, k, b)
+        y = jax.lax.conv_general_dilated(
+            x, k,
+            window_strides=(self.stride, self.stride),
+            padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y if b is None else y + b
+
+
 class Conv(nn.Module):
     """2D conv, Xavier init, SAME padding, optional explicit pre-pad.
 
     Parity: reference models/networks/layers.py:4-10 (pre-pad + SAME conv is
     the reference's PatchGAN padding idiom).
+
+    `pre_up2=True` computes conv(upsample2x(input)) in one fused op
+    (kernel 3, stride 1 only; see _ConvCore / ops/resize.py::up2_conv3).
     """
 
     features: int
@@ -41,19 +88,17 @@ class Conv(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, pre_up2: bool = False) -> jax.Array:
         if self.pad:
             x = jnp.pad(x, ((0, 0), (self.pad, self.pad), (self.pad, self.pad), (0, 0)))
-        return nn.Conv(
+        return _ConvCore(
             features=self.features,
-            kernel_size=(self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding="SAME",
+            kernel=self.kernel,
+            stride=self.stride,
             use_bias=self.use_bias,
-            kernel_init=xavier_uniform,
             dtype=self.dtype,
-            param_dtype=jnp.float32,
-        )(x)
+            name="Conv_0",
+        )(x, pre_up2=pre_up2)
 
 
 class BatchNorm(nn.Module):
@@ -83,8 +128,11 @@ def conv_bn_relu(
     train: bool,
     dtype: Dtype,
     name: str,
+    pre_up2: bool = False,
 ) -> jax.Array:
-    x = Conv(features, kernel, stride, dtype=dtype, name=f"{name}_conv")(x)
+    x = Conv(features, kernel, stride, dtype=dtype, name=f"{name}_conv")(
+        x, pre_up2=pre_up2
+    )
     x = BatchNorm(dtype=dtype, name=f"{name}_bn")(x, train)
     return nn.relu(x)
 

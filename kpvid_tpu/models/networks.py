@@ -144,6 +144,7 @@ class Translator(nn.Module):
         final_res = self.final_res or x.shape[1] * 4
         f = self.filters
         octave = 0
+        pending_up = False  # 'fused' mode: upsample deferred into next conv
         while True:
             if octave == 0:
                 if precomputed_first is None:
@@ -153,7 +154,11 @@ class Translator(nn.Module):
                 x = BatchNorm(dtype=self.dtype, name="oct0a_bn")(x, train)
                 x = nn.relu(x)
             else:
-                x = conv_bn_relu(x, f, 3, 1, train, self.dtype, f"oct{octave}a")
+                x = conv_bn_relu(
+                    x, f, 3, 1, train, self.dtype, f"oct{octave}a",
+                    pre_up2=pending_up,
+                )
+                pending_up = False
             x = conv_bn_relu(x, f, 3, 1, train, self.dtype, f"oct{octave}b")
             if x.shape[1] == final_res:
                 crude = Conv(3, 3, 1, dtype=self.dtype, name="crude")(x)
@@ -162,7 +167,12 @@ class Translator(nn.Module):
                 return crude.astype(jnp.float32), mask
             x = conv_bn_relu(x, f, 3, 1, train, self.dtype, f"oct{octave}c")
             x = conv_bn_relu(x, f, 3, 1, train, self.dtype, f"oct{octave}d")
-            x = upsample2x(x, mode=self.upsample_mode)
+            if self.upsample_mode == "fused":
+                # the 2x upsample folds into the NEXT octave's first conv
+                # (one input-dilated 5x5 conv; exact — ops/resize.up2_conv3)
+                pending_up = True
+            else:
+                x = upsample2x(x, mode=self.upsample_mode)
             if f >= 8:
                 f //= 2
             octave += 1

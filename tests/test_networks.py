@@ -85,6 +85,32 @@ class TestTranslator:
         assert np.all((m > 0) & (m < 1))
 
 
+class TestTranslatorUpsampleModes:
+    def test_all_modes_agree(self, rng):
+        """'tf1' / 'matmul' / 'fused' are the same function on the same
+        params (the fused mode folds each upsample into the next conv;
+        exact incl. borders). Param trees are identical across modes."""
+        x = jnp.asarray(rng.normal(size=(2, 16, 16, 142)), jnp.float32)
+        base = Translator(final_res=64)
+        variables = base.init(jax.random.PRNGKey(0), x, train=False)
+        crude0, mask0 = base.apply(variables, x, train=False, mutable=False)
+        for mode in ("matmul", "fused"):
+            t = Translator(final_res=64, upsample_mode=mode)
+            assert (
+                jax.tree_util.tree_structure(t.init(jax.random.PRNGKey(0), x, train=False))
+                == jax.tree_util.tree_structure(variables)
+            )
+            crude, mask = t.apply(variables, x, train=False, mutable=False)
+            np.testing.assert_allclose(
+                np.asarray(crude), np.asarray(crude0), rtol=1e-4, atol=1e-5,
+                err_msg=mode,
+            )
+            np.testing.assert_allclose(
+                np.asarray(mask), np.asarray(mask0), rtol=1e-4, atol=1e-5,
+                err_msg=mode,
+            )
+
+
 class TestImageDiscriminator:
     def test_patch_logits(self, rng):
         x = jnp.asarray(rng.normal(size=(2, 128, 128, 3)), jnp.float32)

@@ -147,6 +147,27 @@ class TestUpsample:
         out = upsample2x(jnp.asarray(x), mode="half")
         assert out.shape == (2, 16, 16, 4)
 
+    def test_up2_conv3_fused_exact(self, rng):
+        """conv3x3_SAME(upsample2x(x)) == the single input-dilated 5x5
+        conv, including the output border ring (the out-of-crop stencil
+        sites are subtracted by the band corrections)."""
+        import jax
+
+        from kpvid_tpu.ops.resize import up2_conv3
+
+        for (b, h, w, c, f) in [(2, 8, 8, 4, 6), (1, 5, 7, 3, 2), (3, 16, 4, 2, 5)]:
+            x = jnp.asarray(rng.normal(size=(b, h, w, c)).astype(np.float32))
+            k = jnp.asarray((rng.normal(size=(3, 3, c, f)) * 0.2).astype(np.float32))
+            bias = jnp.asarray(rng.normal(size=(f,)).astype(np.float32))
+            want = jax.lax.conv_general_dilated(
+                upsample2x(x), k, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + bias
+            got = up2_conv3(x, k, bias)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+            )
+
     def test_matmul_mode_matches_tf1(self, rng):
         """The MXU-form upsample (serving path) computes the same stencil:
         exact in f32, <= 1 ulp in bf16 (only accumulation dtype differs)."""

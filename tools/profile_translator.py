@@ -143,8 +143,31 @@ def main():
     k = mk(6, (3, 3, 128, 64), 0.05)
     dt = timeit(lambda x, kk: conv(upsample2x(x), kk), (x64, k))
     flops = 2 * 9 * B * 128 * 128 * 128 * 64
-    print(f"{'up2x+conv 64->128^2 128->64 (fused?)':44s} {dt*1e3:8.2f} ms "
+    print(f"{'up2x+conv 64->128^2 128->64 (interleave)':44s} {dt*1e3:8.2f} ms "
           f"{flops/dt/1e12:7.1f} TF/s", flush=True)
+
+    def up_matmul_conv(x, kk):
+        return conv(upsample2x(x, mode="matmul"), kk)
+
+    dt = timeit(up_matmul_conv, (x64, k))
+    print(f"{'upmm+conv 64->128^2 128->64 (current)':44s} {dt*1e3:8.2f} ms "
+          f"{flops/dt/1e12:7.1f} TF/s", flush=True)
+
+    # candidate: fold the 2x upsample INTO the conv as one 5x5 stride-2
+    # transposed conv (composed kernel = bilinear stencil (*) 3x3 weights;
+    # exact up to edge handling). Effective taps 25/4 ~= 6.25 vs 9 IF XLA
+    # phase-decomposes the input-dilated conv; full 25 if it doesn't.
+    k5 = mk(7, (5, 5, 128, 64), 0.05)
+
+    def convT(x, kk):
+        return jax.lax.conv_transpose(
+            x, kk, strides=(2, 2), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    dt = timeit(convT, (x64, k5))
+    print(f"{'convT5x5s2 64->128^2 128->64 (candidate)':44s} {dt*1e3:8.2f} ms "
+          f"{flops/dt/1e12:7.1f} TF/s (same useful math)", flush=True)
 
 
 if __name__ == "__main__":
