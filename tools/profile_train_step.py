@@ -70,7 +70,7 @@ def main():
     print(f"production config: {m.image_size}^2, K={m.n_pts}, batch {bs}, "
           f"{base.training.compute_dtype}", flush=True)
 
-    for mode in () if args.skip_stage1 else ("tf1", "matmul"):
+    for mode in () if args.skip_stage1 else ("tf1", "matmul", "fused"):
         cfg = dataclasses.replace(
             base, model=dataclasses.replace(base.model, upsample_mode=mode)
         ).validate()
