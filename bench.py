@@ -26,7 +26,10 @@ def main():
              "equivalence-proven in tests/test_parallel.py and the "
              "multichip dryrun)",
     )
-    parser.add_argument("--batch", type=int, default=16)
+    parser.add_argument("--batch", type=int, default=32,
+                        help="images per call (x32 frames each); 32 is the "
+                             "throughput sweet spot — see docs/PERF.md "
+                             "batch sweep")
     args = parser.parse_args()
 
     import jax
