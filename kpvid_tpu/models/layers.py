@@ -41,10 +41,13 @@ class _ConvCore(nn.Module):
     dtype: Dtype
 
     @nn.compact
-    def __call__(self, x: jax.Array, pre_up2: bool = False) -> jax.Array:
+    def __call__(
+        self, x: jax.Array, pre_up2: bool = False, skip: jax.Array | None = None
+    ) -> jax.Array:
+        c_in = x.shape[-1] + (0 if skip is None else skip.shape[-1])
         k = self.param(
             "kernel", xavier_uniform,
-            (self.kernel, self.kernel, x.shape[-1], self.features), jnp.float32,
+            (self.kernel, self.kernel, c_in, self.features), jnp.float32,
         )
         b = (
             self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
@@ -54,19 +57,30 @@ class _ConvCore(nn.Module):
         x = x.astype(self.dtype)
         k = k.astype(self.dtype)
         b = None if b is None else b.astype(self.dtype)
+
+        def plain(inp, kk):
+            return jax.lax.conv_general_dilated(
+                inp, kk,
+                window_strides=(self.stride, self.stride),
+                padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
         if pre_up2:
-            # fused conv3x3_SAME(upsample2x(x)): exact, ~2.5x faster than
-            # materializing the upsample (serving path; docs/PERF.md)
+            # fused conv3x3_SAME(upsample2x(x) [++ skip]): exact, ~2.5x
+            # faster than materializing the upsample (serving path;
+            # docs/PERF.md). With `skip`, the kernel splits by input
+            # channel (conv of a concat = sum of per-part convs).
             assert self.kernel == 3 and self.stride == 1
             from ..ops.resize import up2_conv3
 
-            return up2_conv3(x, k, b)
-        y = jax.lax.conv_general_dilated(
-            x, k,
-            window_strides=(self.stride, self.stride),
-            padding="SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+            y = up2_conv3(x, k[:, :, : x.shape[-1], :])
+            if skip is not None:
+                y = y + plain(skip.astype(self.dtype), k[:, :, x.shape[-1]:, :])
+            return y if b is None else y + b
+        if skip is not None:
+            x = jnp.concatenate([x, skip.astype(self.dtype)], axis=-1)
+        y = plain(x, k)
         return y if b is None else y + b
 
 
@@ -88,7 +102,9 @@ class Conv(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, pre_up2: bool = False) -> jax.Array:
+    def __call__(
+        self, x: jax.Array, pre_up2: bool = False, skip: jax.Array | None = None
+    ) -> jax.Array:
         if self.pad:
             x = jnp.pad(x, ((0, 0), (self.pad, self.pad), (self.pad, self.pad), (0, 0)))
         return _ConvCore(
@@ -98,7 +114,7 @@ class Conv(nn.Module):
             use_bias=self.use_bias,
             dtype=self.dtype,
             name="Conv_0",
-        )(x, pre_up2=pre_up2)
+        )(x, pre_up2=pre_up2, skip=skip)
 
 
 class BatchNorm(nn.Module):
@@ -129,9 +145,10 @@ def conv_bn_relu(
     dtype: Dtype,
     name: str,
     pre_up2: bool = False,
+    skip: jax.Array | None = None,
 ) -> jax.Array:
     x = Conv(features, kernel, stride, dtype=dtype, name=f"{name}_conv")(
-        x, pre_up2=pre_up2
+        x, pre_up2=pre_up2, skip=skip
     )
     x = BatchNorm(dtype=dtype, name=f"{name}_bn")(x, train)
     return nn.relu(x)

@@ -89,6 +89,11 @@ class PoseEncoder(nn.Module):
     n_pts: int
     filters: int = 128
     dtype: Dtype = jnp.float32
+    # 'tf1' (training default) or 'fused': each 2x upsample folds into the
+    # next octave's first conv, with the skip-concat handled by kernel
+    # splitting (conv of a concat = sum of per-part convs) — exact; used
+    # by the serving/labeling path (see Translator.upsample_mode).
+    upsample_mode: str = "tf1"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool, return_raw_maps: bool = False):
@@ -97,17 +102,26 @@ class PoseEncoder(nn.Module):
         x = feats[-1]
         f = self.filters
         octave = 0
+        pending_up = False
         while True:
             if octave > 0:
-                x = jnp.concatenate([x, feats[-1 - octave]], axis=-1)
-            x = conv_bn_relu(x, f, 3, 1, train, self.dtype, f"dec{octave}a")
+                x = conv_bn_relu(
+                    x, f, 3, 1, train, self.dtype, f"dec{octave}a",
+                    pre_up2=pending_up, skip=feats[-1 - octave],
+                )
+                pending_up = False
+            else:
+                x = conv_bn_relu(x, f, 3, 1, train, self.dtype, f"dec{octave}a")
             x = conv_bn_relu(x, f, 3, 1, train, self.dtype, f"dec{octave}b")
             if x.shape[1] == final_res:
                 raw = Conv(self.n_pts, 1, 1, dtype=self.dtype, name="heat")(x)
                 break
             x = conv_bn_relu(x, f, 3, 1, train, self.dtype, f"dec{octave}c")
             x = conv_bn_relu(x, f, 3, 1, train, self.dtype, f"dec{octave}d")
-            x = upsample2x(x)
+            if self.upsample_mode == "fused":
+                pending_up = True
+            else:
+                x = upsample2x(x, mode=self.upsample_mode)
             if f >= 8:
                 f //= 2
             octave += 1
@@ -214,7 +228,13 @@ class Stage1Generator(nn.Module):
 
     def setup(self):
         self.image_encoder = ImageEncoder(dtype=self.dtype)
-        self.pose_encoder = PoseEncoder(self.n_pts, dtype=self.dtype)
+        # the pose encoder only distinguishes 'fused' (its skip decoder
+        # folds upsamples into the next conv); 'matmul' there would change
+        # nothing material, so it maps to the interleave form
+        pe_mode = "fused" if self.upsample_mode == "fused" else "tf1"
+        self.pose_encoder = PoseEncoder(
+            self.n_pts, dtype=self.dtype, upsample_mode=pe_mode
+        )
         self.translator = Translator(
             dtype=self.dtype, upsample_mode=self.upsample_mode
         )

@@ -85,6 +85,31 @@ class TestTranslator:
         assert np.all((m > 0) & (m < 1))
 
 
+class TestPoseEncoderUpsampleModes:
+    def test_fused_matches_tf1(self, rng):
+        """The skip decoder's fused mode (upsample folded into the next
+        conv, skip handled by kernel splitting) equals the plain mode on
+        shared params."""
+        from kpvid_tpu.models.networks import PoseEncoder
+
+        x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)), jnp.float32)
+        base = PoseEncoder(n_pts=5)
+        variables = base.init(jax.random.PRNGKey(0), x, train=False)
+        mu0, raw0 = base.apply(
+            variables, x, train=False, return_raw_maps=True, mutable=False
+        )
+        fused = PoseEncoder(n_pts=5, upsample_mode="fused")
+        assert (
+            jax.tree_util.tree_structure(fused.init(jax.random.PRNGKey(0), x, train=False))
+            == jax.tree_util.tree_structure(variables)
+        )
+        mu1, raw1 = fused.apply(
+            variables, x, train=False, return_raw_maps=True, mutable=False
+        )
+        np.testing.assert_allclose(np.asarray(raw1), np.asarray(raw0), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(mu1), np.asarray(mu0), rtol=1e-4, atol=1e-6)
+
+
 class TestTranslatorUpsampleModes:
     def test_all_modes_agree(self, rng):
         """'tf1' / 'matmul' / 'fused' are the same function on the same
