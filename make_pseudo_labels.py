@@ -71,6 +71,9 @@ def main():
         heatmap_size=m_cfg.heatmap_size,
         heatmap_inv_std=m_cfg.heatmap_inv_std,
         dtype=dtype,
+        # inference-only job: fold the pose decoder's upsamples into their
+        # following convs (exact; same params/checkpoints — docs/PERF.md)
+        upsample_mode="fused",
     )
     dummy = jnp.zeros((1, m_cfg.image_size, m_cfg.image_size, 3), jnp.float32)
     # jitted init: one compiled program, fast cold start
