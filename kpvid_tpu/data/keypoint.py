@@ -33,9 +33,21 @@ from .image_pair import load_frame, read_split, video_frame_count
 
 
 class VideoFramesDataset:
-    def __init__(self, data_dir: str, subset: str, image_size: int = 128):
+    def __init__(
+        self,
+        data_dir: str,
+        subset: str,
+        image_size: int = 128,
+        as_uint8: bool = False,
+    ):
+        """as_uint8: keep frames as decoded uint8 pixels; the consumer maps
+        them to [-1, 1] f32 ON DEVICE (u8/255*2-1, the same formula this
+        loader otherwise applies on host — identical values). Quarters the
+        host->device bytes of the labeling stream, which is the labeler's
+        bottleneck on slow interconnects (docs/PERF.md)."""
         self.data_dir = data_dir
         self.image_size = image_size
+        self.as_uint8 = as_uint8
         self.videos = read_split(data_dir, subset)
 
     def __len__(self) -> int:
@@ -46,18 +58,20 @@ class VideoFramesDataset:
         return int(rel.split("/")[-1])
 
     def load_video(self, idx: int) -> np.ndarray:
-        """All frames, center-cropped to image_size, in [-1, 1]."""
+        """All frames, center-cropped to image_size — [-1, 1] f32, or raw
+        uint8 pixels when as_uint8 (see __init__)."""
         rel, _ = self.videos[idx]
         n = video_frame_count(self.data_dir, rel)
         first = load_frame(self.data_dir, rel, 0).convert("RGB")
         box, ratio = augment.center_crop_box(first.size, self.image_size)
         w, h = first.size
-        frames = np.empty((n, self.image_size, self.image_size, 3), np.float32)
+        dtype = np.uint8 if self.as_uint8 else np.float32
+        frames = np.empty((n, self.image_size, self.image_size, 3), dtype)
         for i in range(n):
             im = load_frame(self.data_dir, rel, i).convert("RGB")
             im = im.resize((int(w / ratio), int(h / ratio))).crop(box)
-            frames[i] = augment.to_unit_float(im)
-        return frames * 2.0 - 1.0
+            frames[i] = np.asarray(im) if self.as_uint8 else augment.to_unit_float(im)
+        return frames if self.as_uint8 else frames * 2.0 - 1.0
 
     def iter_videos(self) -> Iterator[tuple[int, int, np.ndarray]]:
         for idx in range(len(self.videos)):

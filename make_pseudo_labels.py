@@ -103,7 +103,14 @@ def main():
     variables = merged
     logger.info("restored %d tensors from %s", n, ckpt)
 
-    detect = jax.jit(lambda v, im: gen.apply(v, im, method=gen.detect))
+    # slabs travel host->device as uint8 (4x fewer bytes — the stream's
+    # bottleneck on slow links); the [-1,1] f32 mapping runs on device
+    # with the exact formula the host loader otherwise applies
+    detect = jax.jit(
+        lambda v, im: gen.apply(
+            v, im.astype(jnp.float32) / 255.0 * 2.0 - 1.0, method=gen.detect
+        )
+    )
 
     # ------------------------------------------------------------ stream
     import collections
@@ -111,7 +118,9 @@ def main():
 
     def all_videos():
         for subset in ("train", "test"):
-            ds = VideoFramesDataset(data_dir, subset, image_size=m_cfg.image_size)
+            ds = VideoFramesDataset(
+                data_dir, subset, image_size=m_cfg.image_size, as_uint8=True
+            )
             logger.info("%s set: %d videos", subset, len(ds))
             yield from ds.iter_videos()
 

@@ -127,6 +127,16 @@ class TestSequence:
 
 
 class TestKeypointVideos:
+    def test_uint8_loading_equals_float(self, tree):
+        """The labeler's uint8 wire format + on-device mapping is the same
+        math as host-side float loading (u8/255*2-1)."""
+        f = VideoFramesDataset(tree, "test").load_video(0)
+        u = VideoFramesDataset(tree, "test", as_uint8=True).load_video(0)
+        assert u.dtype == np.uint8
+        np.testing.assert_allclose(
+            u.astype(np.float32) / 255.0 * 2.0 - 1.0, f, rtol=0, atol=1e-6
+        )
+
     def test_iter_and_chunk(self, tree):
         ds = VideoFramesDataset(tree, "test")
         vid, n, frames = next(ds.iter_videos())
