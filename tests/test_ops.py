@@ -168,6 +168,34 @@ class TestUpsample:
                 np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
             )
 
+    def test_up2_conv3_gradients_match(self, rng):
+        """d/dx and d/dk of the fused op equal the two-step path's (the
+        'fused' mode is selectable for TRAINING via config, so its VJP
+        must be right, borders included)."""
+        import jax
+
+        from kpvid_tpu.ops.resize import up2_conv3
+
+        x = jnp.asarray(rng.normal(size=(2, 6, 5, 3)).astype(np.float32))
+        k = jnp.asarray((rng.normal(size=(3, 3, 3, 4)) * 0.3).astype(np.float32))
+
+        def two_step(x, k):
+            y = jax.lax.conv_general_dilated(
+                upsample2x(x), k, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return jnp.sum(jnp.sin(y))
+
+        def fused(x, k):
+            return jnp.sum(jnp.sin(up2_conv3(x, k)))
+
+        for argnum in (0, 1):
+            g_ref = jax.grad(two_step, argnums=argnum)(x, k)
+            g_fused = jax.grad(fused, argnums=argnum)(x, k)
+            np.testing.assert_allclose(
+                np.asarray(g_fused), np.asarray(g_ref), rtol=1e-4, atol=1e-5
+            )
+
     def test_matmul_mode_matches_tf1(self, rng):
         """The MXU-form upsample (serving path) computes the same stencil:
         exact in f32, <= 1 ulp in bf16 (only accumulation dtype differs)."""

@@ -111,6 +111,20 @@ class TestStage1:
             float(m_q5["reconstruction_metric"]), float(want), rtol=1e-5
         )
 
+    def test_fused_upsample_mode_trains_equivalently(self, s1, batch):
+        """model.upsample_mode='fused' is a config-selectable training
+        formulation: one train step must produce metrics matching the
+        default 'tf1' form (same params; only fp reassociation differs)."""
+        trainer, state = s1
+        cfg = tiny_config(upsample_mode="fused")
+        tr_f = Stage1Trainer(cfg, synthesize_vgg19_params())
+        _, m_ref = jax.jit(trainer.train_step)(jax.tree.map(jnp.copy, state), batch)
+        _, m_fused = jax.jit(tr_f.train_step)(jax.tree.map(jnp.copy, state), batch)
+        for k in ("loss_G", "loss_D", "reconstruction_metric"):
+            np.testing.assert_allclose(
+                float(m_fused[k]), float(m_ref[k]), rtol=1e-4, err_msg=k
+            )
+
     def test_bf16_train_step(self, batch):
         """The bf16 compute path must differentiate end-to-end (regression:
         VGG max-pool init and conv preferred_element_type once broke its
