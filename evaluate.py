@@ -132,13 +132,16 @@ def main():
     sample_idx = 0
     for batch in pipe.batches():
         bs = batch["image"].shape[0]
-        im = jnp.asarray(batch["image"])
-        act = jnp.asarray(batch["action_code"])
         if mesh is not None and bs % mesh.shape["data"] == 0:
-            im = jax.device_put(im, batch_sh)
-            act = jax.device_put(act, batch_sh)
-        # (ragged tail: inputs stay single-device-committed; XLA re-lays
-        # them out against the replicated params — exact, just unsharded)
+            # one H2D transfer straight into the target layout (no staging
+            # copy through the default device)
+            im = jax.device_put(batch["image"], batch_sh)
+            act = jax.device_put(batch["action_code"], batch_sh)
+        else:
+            # ragged tail (or no mesh): single-device-committed; XLA re-lays
+            # them out against the replicated params — exact, just unsharded
+            im = jnp.asarray(batch["image"])
+            act = jnp.asarray(batch["action_code"])
         rng, gen_rng = jax.random.split(rng)
         out = generate(s1_merged, s2_params, im, act, gen_rng)
         cur_pts_img = np.asarray(render_points(out["current_points"]))

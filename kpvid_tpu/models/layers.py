@@ -71,7 +71,11 @@ class _ConvCore(nn.Module):
             # faster than materializing the upsample (serving path;
             # docs/PERF.md). With `skip`, the kernel splits by input
             # channel (conv of a concat = sum of per-part convs).
-            assert self.kernel == 3 and self.stride == 1
+            if self.kernel != 3 or self.stride != 1:
+                raise ValueError(
+                    f"pre_up2 requires kernel=3 stride=1, got "
+                    f"kernel={self.kernel} stride={self.stride}"
+                )
             from ..ops.resize import up2_conv3
 
             y = up2_conv3(x, k[:, :, : x.shape[-1], :])
@@ -106,6 +110,11 @@ class Conv(nn.Module):
         self, x: jax.Array, pre_up2: bool = False, skip: jax.Array | None = None
     ) -> jax.Array:
         if self.pad:
+            if pre_up2:
+                # pre-pad would land BEFORE the upsample (conv(up2(pad(x))),
+                # not conv(pad(up2(x)))) — no caller needs that combination,
+                # so reject rather than silently compute the wrong thing
+                raise ValueError("pre_up2=True is incompatible with pad != 0")
             x = jnp.pad(x, ((0, 0), (self.pad, self.pad), (self.pad, self.pad), (0, 0)))
         return _ConvCore(
             features=self.features,

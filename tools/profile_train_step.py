@@ -4,7 +4,7 @@
 Measures ms/step and examples/s for the jitted train steps at the penn
 production scale (128^2, K=40, batch 16, bf16), for each translator
 upsample formulation (model.upsample_mode: 'tf1' interleave vs 'matmul'
-MXU form — bit-identical outputs, see ops/resize.py). Feeds random
+MXU form — within 1 bf16 ulp of tf1, see ops/resize.py). Feeds random
 device-resident batches (the axon tunnel is too slow for host batches;
 host-pipeline throughput is measured separately by bench_host_pipeline).
 
