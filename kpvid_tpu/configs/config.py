@@ -48,13 +48,24 @@ class TrainingConfig:
     lr: LRConfig = dataclasses.field(default_factory=LRConfig)
     # TPU additions (no reference equivalent):
     seed: int = 0
-    # 'fused': D and G updates in ONE jitted step on the SAME batch.
-    # 'two_batch': emulate the reference's quirk of running D and G as two
-    #   separate session runs that each pull a fresh batch
+    # 'fused': D and G updates in ONE jitted step on the SAME batch, BOTH
+    #   computed against the pre-update opponent (simultaneous update).
+    #   DELIBERATE order flip vs the reference: one G forward serves both
+    #   updates, the cheapest step (docs/PERF.md).
+    # 'fused_dg': one batch, reference ORDER — D updates first (no-grad G
+    #   forward), then G trains against the updated D. Costs one extra G
+    #   forward per step vs 'fused'.
+    # 'two_batch': fully reference-faithful quirk Q2 — D and G as two
+    #   separate updates that each pull a fresh batch, D first
     #   (reference: models/detector_translator_model.py:92-94).
     gan_step_mode: str = "fused"
     # bf16 matmuls/convs with f32 params+loss; 'float32' for exact math.
     compute_dtype: str = "bfloat16"
+    # rematerialize the frozen-VGG perceptual tower in the stage-1 backward
+    # (jax.checkpoint): trades ~VGG-forward FLOPs for not keeping its 16
+    # conv activations live. Measured in docs/PERF.md "Training
+    # throughput" — off by default.
+    remat_vgg: bool = False
     # number of most-recent checkpoints to keep (None = keep all, like the
     # reference's max_to_keep=None; reference: models/base_model.py:74)
     keep_checkpoints: int | None = None
@@ -69,6 +80,13 @@ class TrainingConfig:
     #   curves 1:1 against a reference run. Moving averages are still only
     #   updated by the G train pass, never by eval.
     bn_eval_mode: str = "inference"
+    # BN mode for the periodic summary IMAGES:
+    # 'inference': moving-average BN (default; stable pictures early on).
+    # 'train': render from the train-mode graph like the reference's image
+    #   summaries do (detector_translator_model.py:205-244 hang off the
+    #   train forward) — use for 1:1 visual comparison against a reference
+    #   run while moving stats are still stale. Never updates the stats.
+    summary_bn_mode: str = "inference"
 
 
 @dataclasses.dataclass
@@ -91,8 +109,9 @@ class ModelConfig:
     # (ops/resize.py; measured in docs/PERF.md):
     # 'tf1'    elementwise interleave (training default),
     # 'matmul' the same legacy-bilinear stencil as two dense matmuls on
-    #          the MXU; BIT-identical (weights 1 and 0.5: rounding
-    #          commutes with exact power-of-two scaling),
+    #          the MXU; matches 'tf1' within 1 bf16 ulp (weights 1 and
+    #          0.5 are exact power-of-two scalings; only the accumulation
+    #          order differs — verified in test_matmul_mode_matches_tf1),
     # 'fused'  fold each upsample into the following conv as one
     #          input-dilated 5x5 conv (exact; serving default).
     upsample_mode: str = "tf1"
@@ -165,10 +184,12 @@ class Config:
                 f"image_size ({m.image_size}) must be exactly 4 * heatmap_size "
                 f"({m.heatmap_size}): the translator has two 2x upsample octaves"
             )
-        if t.gan_step_mode not in ("fused", "two_batch"):
+        if t.gan_step_mode not in ("fused", "fused_dg", "two_batch"):
             raise ValueError(f"unknown gan_step_mode {t.gan_step_mode!r}")
         if t.bn_eval_mode not in ("inference", "train"):
             raise ValueError(f"unknown bn_eval_mode {t.bn_eval_mode!r}")
+        if t.summary_bn_mode not in ("inference", "train"):
+            raise ValueError(f"unknown summary_bn_mode {t.summary_bn_mode!r}")
         if m.upsample_mode not in ("tf1", "matmul", "fused"):
             raise ValueError(f"unknown model.upsample_mode {m.upsample_mode!r}")
         if m.lstm_unroll < 1:

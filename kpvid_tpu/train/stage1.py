@@ -5,11 +5,18 @@ differences:
 
 - ONE jitted step performs both the D and G updates ('fused' mode): the
   generator forward runs once under value_and_grad; the discriminator sees
-  the same batch. The reference instead issues two sess.runs that each pull
-  a fresh batch (quirk Q2; reference detector_translator_model.py:92-94) —
-  'two_batch' mode reproduces that: the step takes two batches, updates D
-  on batch one (with a no-grad G forward), then G on batch two against the
-  updated D.
+  the same batch. Update ORDER in 'fused' is G-then-D, i.e. a simultaneous
+  update — BOTH players' gradients are taken against the pre-update
+  opponent. This deliberately flips the reference's D-then-G order
+  (detector_translator_model.py:92-94) to reuse the single G forward for
+  both updates (cheapest step; docs/PERF.md). Two reference-ordered
+  alternatives exist:
+  * 'fused_dg' — one batch, D updates first from a no-grad G forward,
+    then G trains against the UPDATED D (reference dynamics, one batch;
+    costs one extra G forward).
+  * 'two_batch' — full quirk Q2: the step takes two batches, updates D
+    on batch one (with a no-grad G forward), then G on batch two against
+    the updated D.
 - BN statistics update only in the G gradient pass, mirroring the
   reference's UPDATE_OPS placement on the G op only
   (detector_translator_model.py:199-202).
@@ -68,6 +75,15 @@ class Stage1Trainer:
         # quirk Q5 bug-compat switch: 'train' evaluates with batch-statistics
         # BN like the reference's in-training test sweeps (see configs)
         self.bn_eval_train = config.training.bn_eval_mode == "train"
+        # optional remat of the frozen-VGG tower (training.remat_vgg):
+        # recompute its 16 conv activations in the backward instead of
+        # keeping them live (memory for FLOPs; measured in docs/PERF.md)
+        def _recon(p, gt, pred):
+            return perceptual_loss(p, gt, pred, dtype=self.dtype)
+
+        self._recon_loss = (
+            jax.checkpoint(_recon) if config.training.remat_vgg else _recon
+        )
 
     # ---------------------------------------------------------------- init
     def init_state(self, rng: jax.Array) -> GANTrainState:
@@ -129,8 +145,8 @@ class Stage1Trainer:
             )
             fake = out["final"]
             fake_logit = self.discriminator.apply({"params": state.d_params}, fake)
-            recon = perceptual_loss(
-                self.vgg_params, _to_0_255(future_im), _to_0_255(fake), dtype=self.dtype
+            recon = self._recon_loss(
+                self.vgg_params, _to_0_255(future_im), _to_0_255(fake)
             )
             adv = generator_adv_loss(fake_logit)
             return recon + adv, (fake, new_stats, recon, adv)
@@ -153,6 +169,19 @@ class Stage1Trainer:
         im, future_im = batch["image"], batch["future_image"]
         state, fake, g_metrics = self._g_update(state, im, future_im)
         state, d_metrics = self._d_update(state, future_im, fake)
+        state = state.replace(step=state.step + 1)
+        metrics = {**d_metrics, **g_metrics, "lr": self.lr_schedule(state.step)}
+        return state, metrics
+
+    def train_step_dg(self, state: GANTrainState, batch: dict) -> tuple[GANTrainState, dict]:
+        """One-batch step in the reference's D-then-G order
+        (gan_step_mode='fused_dg'): D updates from a no-grad G forward
+        (mutated BN stats discarded, mirroring UPDATE_OPS on the G op only),
+        then G trains against the UPDATED D."""
+        im, future_im = batch["image"], batch["future_image"]
+        out, _ = self._g_forward(state.g_params, state.batch_stats, im, future_im, True)
+        state, d_metrics = self._d_update(state, future_im, out["final"])
+        state, _, g_metrics = self._g_update(state, im, future_im)
         state = state.replace(step=state.step + 1)
         metrics = {**d_metrics, **g_metrics, "lr": self.lr_schedule(state.step)}
         return state, metrics
@@ -209,6 +238,10 @@ class Stage1Trainer:
         return jax.jit(self.train_step, donate_argnums=(0,))
 
     @functools.cached_property
+    def jitted_train_step_dg(self):
+        return jax.jit(self.train_step_dg, donate_argnums=(0,))
+
+    @functools.cached_property
     def jitted_train_step_two_batch(self):
         return jax.jit(self.train_step_two_batch, donate_argnums=(0,))
 
@@ -218,14 +251,18 @@ class Stage1Trainer:
 
     @functools.cached_property
     def _jitted_infer_forward(self):
+        # BN mode follows config.training.summary_bn_mode: 'train' renders
+        # from the train-mode graph like the reference's image summaries
+        # (detector_translator_model.py:205-244); mutated stats discarded.
+        train = self.config.training.summary_bn_mode == "train"
         return jax.jit(
             lambda g_params, batch_stats, im, fut: self._g_forward(
-                g_params, batch_stats, im, fut, False
+                g_params, batch_stats, im, fut, train
             )[0]
         )
 
     def visualize(self, state: GANTrainState, batch: dict) -> dict[str, Any]:
-        """Jitted inference forward returning image tensors for summaries
+        """Jitted forward returning image tensors for summaries
         (counterpart of reference _define_summary image grids). Must be
         jitted: an eager flax apply dispatches hundreds of individual ops,
         which is pathological through a remote-device tunnel."""

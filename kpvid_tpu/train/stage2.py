@@ -146,6 +146,24 @@ class Stage2Trainer:
         state = state.replace(step=state.step + 1)
         return state, {**d_metrics, **g_metrics, "lr": self.lr_schedule(state.step)}
 
+    def train_step_dg(
+        self, state: GANTrainState, batch: dict, rng: jax.Array
+    ) -> tuple[GANTrainState, dict]:
+        """One-batch step in the reference's D-then-G order
+        (gan_step_mode='fused_dg'; see train/stage1.py). Uses independent
+        VAE noise for the D and G forwards, like two_batch does."""
+        rng_d, rng_g = jax.random.split(rng)
+        first_pt, real_seq, act = self._flatten_batch(batch)
+        noise_d = jax.random.normal(rng_d, (first_pt.shape[0], self.vae_dim), jnp.float32)
+        pred_d, _, _ = self.generator.apply(
+            {"params": state.g_params}, real_seq, first_pt, act, noise_d
+        )
+        state, d_metrics = self._d_update(state, real_seq, pred_d)
+        noise_g = jax.random.normal(rng_g, (first_pt.shape[0], self.vae_dim), jnp.float32)
+        state, _, g_metrics = self._g_update(state, first_pt, real_seq, act, noise_g)
+        state = state.replace(step=state.step + 1)
+        return state, {**d_metrics, **g_metrics, "lr": self.lr_schedule(state.step)}
+
     def train_step_two_batch(
         self, state: GANTrainState, batch_d: dict, batch_g: dict, rng: jax.Array
     ) -> tuple[GANTrainState, dict]:
@@ -208,6 +226,10 @@ class Stage2Trainer:
     @functools.cached_property
     def jitted_train_step(self):
         return jax.jit(self.train_step, donate_argnums=(0,))
+
+    @functools.cached_property
+    def jitted_train_step_dg(self):
+        return jax.jit(self.train_step_dg, donate_argnums=(0,))
 
     @functools.cached_property
     def jitted_train_step_two_batch(self):

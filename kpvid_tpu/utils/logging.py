@@ -38,12 +38,18 @@ def _to_scalar(v):
 
 
 class MetricLogger:
-    def __init__(self, log_dir: str | Path, name: str, tensorboard: bool = False):
+    def __init__(self, log_dir: str | Path, name: str, tensorboard: bool = False,
+                 enabled: bool = True):
+        """enabled=False turns every method into a no-op — used on
+        non-primary processes in multi-host runs so only one host writes
+        logs (kpvid_tpu.parallel.is_primary)."""
+        self.enabled = enabled
         self.root = Path(log_dir) / name
-        self.root.mkdir(parents=True, exist_ok=True)
+        if enabled:
+            self.root.mkdir(parents=True, exist_ok=True)
         self._files = {}
         self._tb = {}
-        self._use_tb = tensorboard
+        self._use_tb = tensorboard and enabled
 
     def _jsonl(self, split: str):
         if split not in self._files:
@@ -60,6 +66,8 @@ class MetricLogger:
         return self._tb[split]
 
     def log_metrics(self, split: str, step: int, metrics: dict) -> None:
+        if not self.enabled:
+            return
         scalars = {k: _to_scalar(v) for k, v in metrics.items()}
         scalars = {k: v for k, v in scalars.items() if v is not None}
         rec = {"step": int(step), "time": time.time(), **scalars}
@@ -75,6 +83,8 @@ class MetricLogger:
         self, step: int, loss_d: float, loss_g: float, examples_per_sec: float,
         sec_per_batch: float, prefix: str = "",
     ) -> None:
+        if not self.enabled:
+            return
         logger.info(
             "%s%s: step %d, loss_D = %.4f, loss_G = %.4f (%.1f examples/sec) %.3f sec/batch",
             prefix, datetime.now(), step, loss_d, loss_g, examples_per_sec, sec_per_batch,
@@ -83,11 +93,16 @@ class MetricLogger:
     def log_images(self, split: str, step: int, images: dict[str, np.ndarray],
                    max_outputs: int = 2) -> None:
         """images: name -> [B,H,W,C] float arrays in [-1,1], [0,1] or
-        [0,255]; saved as PNGs (reference image summaries, max_outputs=2)."""
+        [0,255]; saved as PNGs, and — when tensorboard is on — written as TB
+        image summaries too, matching the reference's primary visual channel
+        (reference detector_translator_model.py:205-244, max_outputs=2)."""
+        if not self.enabled:
+            return
         from PIL import Image
 
         out_dir = self.root / f"{split}_images"
         out_dir.mkdir(exist_ok=True)
+        tb = self._tb_writer(split)
         for name, arr in images.items():
             arr = np.asarray(arr)[:max_outputs]
             for b in range(arr.shape[0]):
@@ -100,6 +115,9 @@ class MetricLogger:
                 if img.shape[-1] == 1:
                     img = img[..., 0]
                 Image.fromarray(img).save(out_dir / f"{name}_{step:08d}_{b}.png")
+                if tb is not None:
+                    hwc = img if img.ndim == 3 else img[..., None]
+                    tb.add_image(f"{name}/{b}", hwc, int(step), dataformats="HWC")
 
     def close(self) -> None:
         for f in self._files.values():

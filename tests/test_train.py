@@ -71,6 +71,35 @@ class TestStage1:
         assert int(new_state.step) == 1
         assert np.isfinite(float(metrics["loss_G"]))
 
+    def test_fused_dg_matches_two_batch_on_same_batch(self, s1, batch):
+        """gan_step_mode='fused_dg' is the reference's D-then-G order on a
+        single batch: feeding two_batch the SAME batch twice must produce
+        the identical update (they are the same op sequence)."""
+        trainer, state = s1
+        st_dg, m_dg = jax.jit(trainer.train_step_dg)(
+            jax.tree.map(jnp.copy, state), batch
+        )
+        st_tb, m_tb = jax.jit(trainer.train_step_two_batch)(
+            jax.tree.map(jnp.copy, state), batch, batch
+        )
+        for k in ("loss_D", "loss_G", "D_real", "D_fake"):
+            np.testing.assert_allclose(float(m_dg[k]), float(m_tb[k]), rtol=1e-6, err_msg=k)
+        assert _tree_l2_diff(st_dg.g_params, st_tb.g_params) < 1e-10
+        assert _tree_l2_diff(st_dg.d_params, st_tb.d_params) < 1e-10
+
+    def test_fused_dg_g_trains_against_updated_d(self, s1, batch):
+        """Order check: in 'fused_dg' the G update sees the post-update D,
+        so its adv loss differs from 'fused' (where G sees pre-update D);
+        the D update itself sees the same pre-update G either way."""
+        trainer, state = s1
+        _, m_dg = jax.jit(trainer.train_step_dg)(jax.tree.map(jnp.copy, state), batch)
+        _, m_f = jax.jit(trainer.train_step)(jax.tree.map(jnp.copy, state), batch)
+        assert not np.isclose(float(m_dg["G_adv_loss"]), float(m_f["G_adv_loss"]))
+        # ...while D's update is against the pre-update G in both modes
+        np.testing.assert_allclose(
+            float(m_dg["loss_D"]), float(m_f["loss_D"]), rtol=1e-5
+        )
+
     def test_eval_step(self, s1, batch):
         trainer, state = s1
         metrics = trainer.jitted_eval_step(state, batch)
@@ -123,6 +152,20 @@ class TestStage1:
         for k in ("loss_G", "loss_D", "reconstruction_metric"):
             np.testing.assert_allclose(
                 float(m_fused[k]), float(m_ref[k]), rtol=1e-4, err_msg=k
+            )
+
+    def test_remat_vgg_trains_equivalently(self, s1, batch):
+        """training.remat_vgg=True recomputes the VGG tower in the
+        backward — identical math, different schedule."""
+        trainer, state = s1
+        cfg = tiny_config()
+        cfg.training.remat_vgg = True
+        tr_r = Stage1Trainer(cfg, synthesize_vgg19_params())
+        _, m_ref = jax.jit(trainer.train_step)(jax.tree.map(jnp.copy, state), batch)
+        _, m_r = jax.jit(tr_r.train_step)(jax.tree.map(jnp.copy, state), batch)
+        for k in ("loss_G", "loss_D", "reconstruction_metric"):
+            np.testing.assert_allclose(
+                float(m_r[k]), float(m_ref[k]), rtol=1e-5, err_msg=k
             )
 
     def test_bf16_train_step(self, batch):
@@ -193,3 +236,19 @@ class TestStage2:
         )
         assert int(new_state.step) == 1
         assert np.isfinite(float(metrics["loss_G"]))
+
+    def test_fused_dg_matches_two_batch_on_same_batch(self, s2, seq_batch):
+        """Same-batch two_batch and fused_dg are the identical op sequence
+        (including the rng split convention), so updates must agree."""
+        trainer, state = s2
+        key = jax.random.PRNGKey(5)
+        st_dg, m_dg = jax.jit(trainer.train_step_dg)(
+            jax.tree.map(jnp.copy, state), seq_batch, key
+        )
+        st_tb, m_tb = jax.jit(trainer.train_step_two_batch)(
+            jax.tree.map(jnp.copy, state), seq_batch, seq_batch, key
+        )
+        for k in ("loss_D", "loss_G", "recon_loss", "kl_loss"):
+            np.testing.assert_allclose(float(m_dg[k]), float(m_tb[k]), rtol=1e-6, err_msg=k)
+        assert _tree_l2_diff(st_dg.g_params, st_tb.g_params) < 1e-10
+        assert _tree_l2_diff(st_dg.d_params, st_tb.d_params) < 1e-10

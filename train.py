@@ -49,6 +49,13 @@ def main():
                              "axis (overrides config parallel.mesh_model)")
     args = parser.parse_args()
 
+    # multi-host wiring: must happen before any other jax backend use.
+    # No-op unless KPVID_COORDINATOR/KPVID_NUM_PROCESSES/KPVID_PROCESS_ID
+    # or KPVID_MULTIHOST=auto are set (see kpvid_tpu/parallel/distributed.py).
+    from kpvid_tpu.parallel import is_primary, local_batch_size, maybe_initialize
+
+    multiproc = maybe_initialize()
+
     from kpvid_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -71,9 +78,14 @@ def main():
         from kpvid_tpu.data import make_synthetic_penn_tree
         from kpvid_tpu.data.synthetic import make_synthetic_pseudo_labels
 
-        make_synthetic_penn_tree(data_dir)
-        if args.mode == "motion_generator":
-            make_synthetic_pseudo_labels(data_dir, n_pts=m_cfg.n_pts)
+        if is_primary():  # one writer on a shared filesystem
+            make_synthetic_penn_tree(data_dir)
+            if args.mode == "motion_generator":
+                make_synthetic_pseudo_labels(data_dir, n_pts=m_cfg.n_pts)
+        if multiproc:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("kpvid_synthetic_data")
 
     # ------------------------------------------------------------ datasets
     if args.mode == "detector_translator":
@@ -149,11 +161,18 @@ def main():
             )
         state = shard_state(mesh, state, min_shard_dim=p_cfg.min_shard_dim)
         logger.info(
-            "mesh: data=%d x model=%d over %d devices (per-device batch %d)",
-            n_data, mesh.shape["model"], n_devices, t_cfg.batch_size // n_data,
+            "mesh: data=%d x model=%d over %d devices on %d processes "
+            "(per-device batch %d)",
+            n_data, mesh.shape["model"], n_devices, jax.process_count(),
+            t_cfg.batch_size // n_data,
         )
+    elif multiproc:
+        raise RuntimeError("multi-process run found no multi-device mesh")
 
-    metric_logger = MetricLogger(config.paths.log_dir, args.mode, tensorboard=args.tensorboard)
+    metric_logger = MetricLogger(
+        config.paths.log_dir, args.mode, tensorboard=args.tensorboard,
+        enabled=is_primary(),
+    )
     ckpt_manager = AsyncCheckpointManager(
         config.paths.log_dir, args.mode, keep=t_cfg.keep_checkpoints
     )
@@ -161,11 +180,17 @@ def main():
 
     n_steps = args.max_steps if args.max_steps is not None else t_cfg.n_steps
     two_batch = t_cfg.gan_step_mode == "two_batch"
+    fused_dg = t_cfg.gan_step_mode == "fused_dg"
     start_step = int(state.step)
 
+    # Multi-host data parallelism: each host assembles LOCAL batches of
+    # batch_size/process_count examples from its strided index shard;
+    # parallel.put_batch stitches them into global arrays downstream
+    # (see kpvid_tpu/parallel/distributed.py).
+    local_bs = local_batch_size(t_cfg.batch_size)
     train_pipe = HostDataPipeline(
         train_ds,
-        t_cfg.batch_size,
+        local_bs,
         shuffle=True,
         repeat=True,
         num_workers=config.data.num_workers,
@@ -176,7 +201,7 @@ def main():
         num_shards=jax.process_count(),
         # resume continues the exact data stream the interrupted run would
         # have produced (two_batch pulls two batches per step)
-        start_sample=start_step * t_cfg.batch_size * (2 if two_batch else 1),
+        start_sample=start_step * local_bs * (2 if two_batch else 1),
     )
     logger.info("training %s from step %d to %d on %s", args.mode, start_step, n_steps,
                 jax.devices()[0])
@@ -212,6 +237,8 @@ def main():
                 state, metrics = trainer.jitted_train_step_two_batch(
                     state, batch, next_batch()
                 )
+            elif fused_dg:
+                state, metrics = trainer.jitted_train_step_dg(state, batch)
             else:
                 state, metrics = trainer.jitted_train_step(state, batch)
         else:
@@ -219,6 +246,8 @@ def main():
                 state, metrics = trainer.jitted_train_step_two_batch(
                     state, batch, next_batch(), step_rng
                 )
+            elif fused_dg:
+                state, metrics = trainer.jitted_train_step_dg(state, batch, step_rng)
             else:
                 state, metrics = trainer.jitted_train_step(state, batch, step_rng)
         throughput.update(t_cfg.batch_size)
@@ -234,7 +263,9 @@ def main():
 
         if step % t_cfg.summary_interval == 0:
             metric_logger.log_metrics("train", step, metrics)
-            if not args.no_images:
+            # (multi-process: image summaries would slice a globally-sharded
+            # batch from one host — skipped; scalar metrics still logged)
+            if not args.no_images and not multiproc:
                 from kpvid_tpu.eval.visualize import (
                     stage1_summary_images,
                     stage2_summary_images,
@@ -254,7 +285,7 @@ def main():
         if step % t_cfg.test_interval == 0:
             _run_test_sweep(
                 args.mode, trainer, state, test_ds, config, step, metric_logger, rng,
-                mesh=mesh,
+                mesh=mesh, multiproc=multiproc,
             )
 
     ckpt_manager.save(n_steps, state)
@@ -264,12 +295,15 @@ def main():
 
 
 def _run_test_sweep(mode, trainer, state, test_ds, config, step, metric_logger, rng,
-                    mesh=None):
+                    mesh=None, multiproc=False):
     """Average eval metrics over the full test split, weighted by true
     example counts (reference train.py:98-111 sweeps the ragged tail batch
     unpadded; so do we — at most one extra compiled shape, cached). On a
     mesh, full batches shard over 'data'; a ragged tail that doesn't divide
-    the data axis replicates instead (exact, just redundant compute)."""
+    the data axis replicates instead (exact, just redundant compute).
+    Multi-process: every host draws the SAME deterministic test stream and
+    every batch replicates (exact and simple; each host computes the full
+    sweep redundantly — only the primary logs)."""
     from kpvid_tpu.data import HostDataPipeline
 
     if mesh is not None:
@@ -287,10 +321,10 @@ def _run_test_sweep(mode, trainer, state, test_ds, config, step, metric_logger, 
     for batch in pipe.batches():
         bs = batch["image"].shape[0]
         if mesh is not None:
-            if bs % mesh.shape["data"] == 0:
-                batch = shard_batch(mesh, batch)
-            else:
+            if multiproc or bs % mesh.shape["data"] != 0:
                 batch = replicate(mesh, batch)
+            else:
+                batch = shard_batch(mesh, batch)
         if mode == "detector_translator":
             metrics = trainer.jitted_eval_step(state, batch)
         else:
