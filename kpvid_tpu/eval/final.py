@@ -28,7 +28,14 @@ from ..ops import colorize_point_maps, render_gaussian_maps
 
 
 class FinalGenerator:
-    def __init__(self, config: Config):
+    def __init__(self, config: Config, upsample_mode: str = "fused"):
+        """upsample_mode defaults to the serving fast path: each 2x
+        upsample folds into the next conv as one input-dilated 5x5 conv —
+        exact, and ~2.5x faster than materializing the upsample at the
+        serving workload where the translator runs B*T frames
+        (docs/PERF.md round-2 profile). All modes share parameters and
+        checkpoints; 'tf1' is the reference-faithful interleave form
+        (used by the composed TF oracle in tests/test_tf_oracle.py)."""
         self.config = config
         m = config.model
         self.dtype = (
@@ -43,11 +50,7 @@ class FinalGenerator:
             heatmap_size=m.heatmap_size,
             heatmap_inv_std=m.heatmap_inv_std,
             dtype=self.dtype,
-            # fused upsample+conv: each 2x upsample folds into the next
-            # conv as one input-dilated 5x5 conv — exact, and ~2.5x faster
-            # than materializing the upsample at the serving workload where
-            # the translator runs B*T frames (docs/PERF.md round-2 profile)
-            upsample_mode="fused",
+            upsample_mode=upsample_mode,
         )
         self.stage2 = MotionGenerator(
             n_pts=m.n_pts,

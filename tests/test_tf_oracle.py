@@ -537,3 +537,159 @@ class TestStage2ForwardOracle:
 
         got = disc.apply(variables, jnp.asarray(seq))
         np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
+
+
+# ------------------------------------------- composed final serving graph
+class TestComposedFinalOracle:
+    """The SHIPPED serving product — encode -> first_pt -> fixed z ->
+    scan-decode -> render -> translate -> blend as ONE graph, fast paths
+    included — against a raw-TF replica of reference
+    models/final_model.py:49-122 (same z injected on both sides).
+
+    Covers BOTH split_first_conv settings and BOTH 'tf1' and 'fused'
+    upsample modes of the production FinalGenerator.generate at f32.
+    """
+
+    N_FUT = 5
+    CELLS = (32, 48)
+    VAE_DIM = 8
+    N_ACT = 4
+
+    @pytest.fixture(scope="class")
+    def stage2_weights(self):
+        from kpvid_tpu.models import MotionGenerator
+
+        gen = MotionGenerator(
+            n_pts=N_PTS, n_future=self.N_FUT, cell_info=self.CELLS,
+            vae_dim=self.VAE_DIM, dtype=jnp.float32,
+        )
+        variables = jax.jit(
+            lambda r: gen.init(
+                r,
+                jnp.zeros((1, self.N_FUT, 2 * N_PTS)),
+                jnp.zeros((1, 2 * N_PTS)),
+                jnp.zeros((1, self.N_ACT)),
+                jnp.zeros((1, self.VAE_DIM)),
+            )
+        )(jax.random.PRNGKey(11))
+        counter = [300]
+
+        def rnd(leaf):
+            counter[0] += 1
+            if leaf.ndim == 1:
+                r = np.random.default_rng(counter[0])
+                return leaf + jnp.asarray(r.normal(0, 0.2, leaf.shape), jnp.float32)
+            return leaf
+
+        variables = {"params": jax.tree.map(rnd, variables["params"])}
+        mapping = map_names(variables, "stage2")
+        flat, _ = jax.tree_util.tree_flatten_with_path(variables)
+        weights = {}
+        for path, leaf in flat:
+            key = tuple(_key_name(k) for k in path)
+            assert key in mapping, f"unmapped stage-2 leaf {key}"
+            weights[mapping[key]] = np.asarray(leaf, np.float32)
+        return variables, weights
+
+    def _tf_composed(self, w1, w2, im, act, z):
+        """Raw-TF replica of final_model.py:49-122 at test shapes
+        (B, SIZE=32, hs=8, T=N_FUT), with z injected."""
+        b, t, hs = im.shape[0], self.N_FUT, SIZE // 4
+
+        def tile_t(x):
+            # reference tf.tile(expand_dims(x,1),[1,T,..]) + reshape:
+            # sample-major layout, row b*T + t -> sample b
+            shape = [int(s) for s in x.shape[1:]]
+            return tf.reshape(
+                tf.tile(x[:, None], [1, t] + [1] * len(shape)), [-1] + shape
+            )
+
+        tiled_im = tile_t(tf.constant(im))
+        feats = _tf_encoder(w1, tf.constant(im), "image_encoder/encoder")
+        emb = tile_t(([tf.constant(im)] + feats)[-2])
+        first_pt = _tf_pose_encoder(w1, tf.constant(im), final_res=SIZE)
+
+        # vae_decoder (reference networks/__init__.py:116-129) on the
+        # injected z
+        inp0 = _tf_fc_relu(
+            w2, "vae_decoder",
+            tf.concat(
+                [tf.constant(z), tf.reshape(first_pt, [b, 2 * N_PTS]),
+                 tf.constant(act)], axis=-1,
+            ),
+        )
+        xs = tf.concat(
+            [inp0[:, None, :], tf.zeros((b, t - 1, inp0.shape[-1]))], axis=1
+        )
+        outs = _tf_lstm_stack(w2, "vae_decoder", False, xs, len(self.CELLS))
+        W = tf.constant(w2["vae_decoder/fully_connected/W"])
+        bb = tf.constant(w2["vae_decoder/fully_connected/b"])
+        pred_seq = tf.stack(
+            [tf.tanh(tf.matmul(outs[:, i, :], W) + bb) for i in range(t)], axis=1
+        )  # [B, T, 2K]
+        pred_pts = tf.reshape(pred_seq, [b * t, N_PTS, 2])
+
+        cur_map = tile_t(_tf_gaussian_maps(first_pt, (hs, hs)))
+        pred_map = _tf_gaussian_maps(pred_pts, (hs, hs))
+        joint = tf.concat([emb, cur_map, pred_map], axis=-1)
+        crude, mask = _tf_translator(w1, joint, final_res=SIZE)
+        final = tiled_im * mask + crude * (1.0 - mask)
+        crude = tf.clip_by_value(crude, -1, 1)
+        final = tf.clip_by_value(final, -1, 1)
+        return {
+            "pred_im_seq": tf.reshape(final, [b, t, SIZE, SIZE, 3]).numpy(),
+            "mask": tf.reshape(mask, [b, t, SIZE, SIZE, 1]).numpy(),
+            "pred_im_crude": tf.reshape(crude, [b, t, SIZE, SIZE, 3]).numpy(),
+            "current_points": first_pt.numpy(),
+            "future_points": tf.reshape(pred_seq, [b, t, N_PTS, 2]).numpy(),
+        }
+
+    @pytest.mark.parametrize("upsample_mode", ["tf1", "fused"])
+    @pytest.mark.parametrize("split_first_conv", [True, False])
+    def test_generate_matches_tf_composition(
+        self, model_weights, stage2_weights, rng, upsample_mode, split_first_conv
+    ):
+        from kpvid_tpu.configs import Config, ModelConfig, TrainingConfig
+        from kpvid_tpu.eval import FinalGenerator
+
+        gen1, s1_vars, w1 = model_weights
+        s2_vars, w2 = stage2_weights
+
+        cfg = Config(
+            model=ModelConfig(
+                n_pts=N_PTS, n_action=self.N_ACT, cell_info=self.CELLS,
+                vae_dim=self.VAE_DIM, image_size=SIZE, heatmap_size=SIZE // 4,
+                n_future_frames=self.N_FUT,
+            ),
+            training=TrainingConfig(batch_size=2, compute_dtype="float32"),
+        ).validate()
+        final = FinalGenerator(cfg, upsample_mode=upsample_mode)
+
+        b = 2
+        im = rng.uniform(-1, 1, (b, SIZE, SIZE, 3)).astype(np.float32)
+        act = np.eye(self.N_ACT, dtype=np.float32)[[1, 3]]
+        gen_rng = jax.random.PRNGKey(17)
+        # the exact z generate() will draw internally, injected into TF
+        z = np.asarray(
+            jax.random.normal(gen_rng, (b, self.VAE_DIM), jnp.float32)
+        )
+
+        want = self._tf_composed(w1, w2, im, act, z)
+        got = jax.jit(
+            final.generate, static_argnames=("split_first_conv",)
+        )(
+            s1_vars, s2_vars["params"], jnp.asarray(im), jnp.asarray(act),
+            gen_rng, split_first_conv=split_first_conv,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["current_points"]), want["current_points"],
+            rtol=1e-4, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["future_points"]), want["future_points"],
+            rtol=1e-4, atol=1e-5,
+        )
+        for k in ("pred_im_seq", "mask", "pred_im_crude"):
+            np.testing.assert_allclose(
+                np.asarray(got[k]), want[k], rtol=1e-4, atol=1e-4, err_msg=k
+            )
