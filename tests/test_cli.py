@@ -40,18 +40,20 @@ def run(args, n_devices: int | None = None):
     return proc
 
 
-def test_train_cli_miniature(tmp_path):
-    """Always-on CLI smoke: a 2-step stage-1 run through the REAL train.py
-    (config load, synthetic data, pipeline, jitted step, test sweep,
-    checkpoint, logs) — catches arg-plumbing regressions the library tests
-    can't. Shapes match smoke.yaml so the persistent XLA cache keeps this
-    fast; the 4-CLI chain below stays opt-in."""
-    cfg = tmp_path / "cfg.yaml"
+@pytest.fixture(scope="module")
+def mini_env(tmp_path_factory):
+    """Shared miniature environment for the always-on CLI tests: a tiny
+    config + a 2-step stage-1 run through the REAL train.py (config load,
+    synthetic data, pipeline, jitted step, test sweep, checkpoint, logs).
+    Shapes match smoke.yaml so the persistent XLA cache keeps this fast;
+    the bigger 4-CLI chain below stays opt-in."""
+    root = tmp_path_factory.mktemp("cli_mini")
+    cfg = root / "cfg.yaml"
     cfg.write_text(f"""
 paths:
-  data_dir: '{tmp_path}/penn'
-  vggnet: '{tmp_path}/vgg19.npy'
-  log_dir: '{tmp_path}/results'
+  data_dir: '{root}/penn'
+  vggnet: '{root}/vgg19.npy'
+  log_dir: '{root}/results'
 training:
   n_steps: 2
   summary_interval: 100
@@ -74,10 +76,63 @@ data:
 """)
     run(["train.py", "--mode", "detector_translator", "--config", str(cfg),
          "--synthetic", "--max-steps", "2", "--no-images"])
-    ckpts = list((tmp_path / "results" / "detector_translator").glob("ckpt-*"))
+    return root
+
+
+def test_train_cli_miniature(mini_env):
+    ckpts = list((mini_env / "results" / "detector_translator").glob("ckpt-*"))
     assert ckpts, "final checkpoint not written"
-    metrics = list((tmp_path / "results").glob("**/*.jsonl"))
+    metrics = list((mini_env / "results").glob("**/*.jsonl"))
     assert metrics, "metric logs not written"
+
+
+@pytest.fixture(scope="module")
+def mini_labels(mini_env):
+    """Run the REAL make_pseudo_labels.py on the miniature stage-1 ckpt."""
+    run(["make_pseudo_labels.py", "--config", str(mini_env / "cfg.yaml"),
+         "--checkpoint", f"{mini_env}/results/detector_translator",
+         "--synthetic"])
+    return mini_env / "penn" / "pseudo_labels"
+
+
+def test_labeler_cli_miniature(mini_labels):
+    """Always-on labeler smoke: CLI arg plumbing + output .npy layout
+    (reference make_pseudo_labels.py contract: one [T, K, 2] float array
+    per video, same stem as the video dir)."""
+    import numpy as np
+
+    labels = sorted(mini_labels.glob("*.npy"))
+    assert len(labels) == 6, labels  # 4 train + 2 test synthetic videos
+    arr = np.load(labels[0])
+    assert arr.ndim == 3 and arr.shape[1:] == (8, 2), arr.shape
+    assert np.abs(arr).max() <= 1.0 + 1e-6
+
+
+@pytest.fixture(scope="module")
+def mini_stage2(mini_env, mini_labels):
+    """Run a 2-step stage-2 train through the REAL train.py."""
+    run(["train.py", "--mode", "motion_generator", "--config",
+         str(mini_env / "cfg.yaml"), "--max-steps", "2", "--no-images"])
+    return mini_env / "results" / "motion_generator"
+
+
+def test_stage2_train_cli_miniature(mini_stage2):
+    assert list(mini_stage2.glob("ckpt-*")), "stage-2 checkpoint not written"
+    assert list(mini_stage2.glob("*.jsonl")), "stage-2 metric logs not written"
+
+
+def test_evaluate_cli_miniature(mini_env, mini_stage2):
+    """Always-on evaluate smoke: CLI arg plumbing + the reference's
+    per-sample PNG tree (evaluate.py:100-131)."""
+    run(["evaluate.py", "--config", str(mini_env / "cfg.yaml"),
+         "--checkpoint_stage1", f"{mini_env}/results/detector_translator",
+         "--checkpoint_stage2", f"{mini_env}/results/motion_generator",
+         "--save_dir", f"{mini_env}/eval", "--batch_size", "2"])
+    sample = mini_env / "eval" / "0000"
+    assert (sample / "input_im.png").exists()
+    assert (sample / "current_points.png").exists()
+    for sub in ("real_seq", "pred_seq", "mask", "crude", "pred_points"):
+        assert len(list((sample / sub).glob("*.png"))) == 32, sub
 
 
 @_full_chain
