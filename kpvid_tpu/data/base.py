@@ -212,7 +212,9 @@ def device_prefetch(
     data/base_dataloader.py:51-52). jax.device_put is async, so H2D
     transfers overlap the running step. `sharding`: an optional
     jax.sharding.Sharding (e.g. parallel.batch_sharding(mesh)) that lays
-    each batch out across the mesh as it lands on device."""
+    each batch out across the mesh as it lands on device. Multi-process:
+    each host feeds its LOCAL batches and the global arrays are assembled
+    via parallel.put_batch (make_array_from_process_local_data)."""
     import collections
 
     import jax
@@ -220,7 +222,9 @@ def device_prefetch(
     def put(batch):
         if sharding is None:
             return jax.device_put(batch)
-        return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+        from ..parallel import put_batch
+
+        return put_batch(batch, sharding)
 
     ahead: collections.deque = collections.deque()
     it = iter(batches)

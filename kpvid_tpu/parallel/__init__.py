@@ -1,3 +1,9 @@
+from .distributed import (
+    is_primary,
+    local_batch_size,
+    maybe_initialize,
+    put_batch,
+)
 from .mesh import make_mesh
 from .sharding import (
     batch_sharding,
@@ -14,4 +20,8 @@ __all__ = [
     "param_sharding_rules",
     "shard_batch",
     "shard_state",
+    "is_primary",
+    "local_batch_size",
+    "maybe_initialize",
+    "put_batch",
 ]

@@ -5,8 +5,9 @@ reference train.py:25-29) — it has NO distribution story (SURVEY §2.5).
 Here scaling is native: a 2-D ('data', 'model') `jax.sharding.Mesh`;
 batches shard over 'data' (gradients all-reduce over ICI via XLA psum),
 and the widest kernels (stage-2 LSTM/FC, translator convs) may shard over
-'model' (tensor parallelism). Multi-host works transparently through
-jax.distributed + the same mesh axes.
+'model' (tensor parallelism). Multi-host: parallel/distributed.py wires
+jax.distributed.initialize + per-host local-batch assembly; the mesh here
+then spans all hosts' devices (jax.devices() is global after init).
 """
 
 from __future__ import annotations

@@ -24,17 +24,24 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
-    """Device-put a host batch with the leading axis sharded over 'data'."""
-    sh = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    """Lay a host batch out with the leading axis sharded over 'data'.
+
+    Multi-process: `batch` is this host's LOCAL slice (leading dim =
+    global/process_count) and the global array is assembled via
+    jax.make_array_from_process_local_data (see parallel/distributed.py)."""
+    from .distributed import put_batch
+
+    return put_batch(batch, batch_sharding(mesh))
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:
-    """Device-put a pytree fully replicated over the mesh (used for ragged
+    """Lay a pytree out fully replicated over the mesh (used for ragged
     eval tail batches whose leading dim doesn't divide the 'data' axis —
-    exact math, every device computes the full batch)."""
-    sh = NamedSharding(mesh, P())
-    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+    exact math, every device computes the full batch). Multi-process:
+    every host must pass the same full array."""
+    from .distributed import put_batch
+
+    return put_batch(tree, NamedSharding(mesh, P()))
 
 
 def _leaf_spec(leaf, model_size: int, min_shard_dim: int) -> P:
@@ -60,11 +67,22 @@ def param_sharding_rules(
 
 
 def shard_state(mesh: Mesh, state: Any, min_shard_dim: int = 1024) -> Any:
-    """Device-put a GANTrainState (or any pytree) with param sharding rules
-    applied leaf-wise; scalars/stats replicate."""
+    """Lay a GANTrainState (or any pytree) out with the param sharding
+    rules applied leaf-wise; scalars/stats replicate.
+
+    Multi-process: every process passes its (identical, deterministic-init)
+    local copy; leaves become global replicated arrays first, then a jitted
+    identity reshards to the rule-derived shardings (a plain device_put
+    cannot address other hosts' devices)."""
     specs = param_sharding_rules(mesh, state, min_shard_dim)
-    return jax.tree.map(
-        lambda leaf, spec: jax.device_put(leaf, NamedSharding(mesh, spec)),
-        state,
-        specs,
-    )
+    if jax.process_count() == 1:
+        return jax.tree.map(
+            lambda leaf, spec: jax.device_put(leaf, NamedSharding(mesh, spec)),
+            state,
+            specs,
+        )
+    from .distributed import put_batch
+
+    replicated = put_batch(state, NamedSharding(mesh, P()))
+    out_sh = jax.tree.map(lambda spec: NamedSharding(mesh, spec), specs)
+    return jax.jit(lambda s: s, out_shardings=out_sh)(replicated)

@@ -43,8 +43,23 @@ def _device_to_host_packed(state: Any) -> Any:
     615 MB state, 272 s per-leaf vs ~20 s packed). Leaves are raveled and
     concatenated by dtype on device (one fused XLA program), transferred,
     then split/reshaped on host.
+
+    Multi-process: leaves that are NOT fully addressable on this process
+    (e.g. tensor-parallel shards spanning hosts) are first all-gathered
+    with multihost_utils.process_allgather — a COLLECTIVE, so every
+    process must reach this call, in the same order (see
+    AsyncCheckpointManager.save).
     """
     leaves, treedef = jax.tree_util.tree_flatten(state)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        leaves = [
+            multihost_utils.process_allgather(l, tiled=True)
+            if isinstance(l, jax.Array) and not l.is_fully_addressable
+            else l
+            for l in leaves
+        ]
     by_dtype: dict = {}
     for i, leaf in enumerate(leaves):
         arr = jnp.asarray(leaf)
@@ -77,16 +92,24 @@ def save_checkpoint(
     path = root / f"ckpt-{step}"
     # host-side numpy copy (packed transfer): donate-safe, device-agnostic
     host_state = _device_to_host_packed(state)
+    _write_host_checkpoint(root, path, host_state, keep)
+    return path
+
+
+def _write_host_checkpoint(root: Path, path: Path, host_state: Any, keep: int | None):
+    # Multi-process: EVERY process must call ck.save — Orbax coordinates
+    # its own cross-process barrier inside (a device collective; skipping
+    # it on non-primary processes deadlocks the primary). Host-numpy
+    # leaves are treated as replicated, so only the primary writes data.
     ck = _checkpointer()
     ck.save(path, host_state, force=True)
     ck.wait_until_finished()
-    if keep is not None:
+    if keep is not None and jax.process_index() == 0:
         steps = sorted(list_checkpoint_steps(root))
         for old in steps[:-keep]:
             import shutil
 
             shutil.rmtree(root / f"ckpt-{old}", ignore_errors=True)
-    return path
 
 
 class AsyncCheckpointManager:
@@ -113,6 +136,16 @@ class AsyncCheckpointManager:
         import threading
 
         self.wait()
+        if jax.process_count() > 1:
+            # Multi-process saves are SYNCHRONOUS on the main thread: both
+            # the device->host pull (possible all-gathers of TP shards) and
+            # Orbax's internal cross-process barrier are device collectives
+            # that every process must issue in the same order — running
+            # them from a background thread would race the train-step
+            # launches and deadlock. Blocking is acceptable at the 20k-step
+            # checkpoint cadence.
+            save_checkpoint(self.log_dir, self.name, step, state, keep=self.keep)
+            return
         snapshot = _snapshot(state)
         jax.block_until_ready(snapshot)
 

@@ -1,0 +1,166 @@
+"""Multi-host (multi-process) execution tests.
+
+The heavyweight test launches 2 coordinated CPU processes (2 local devices
+each) against a localhost jax.distributed coordinator and asserts the REAL
+stage-1/stage-2 train steps — with the REAL per-host data pipeline and
+make_array_from_process_local_data batch assembly — match a single-process
+4-device run (same global mesh, same data). SURVEY §5.8; the reference is
+strictly single-process (reference train.py:25-29).
+
+Cheap construction-level tests cover the per-host batch assembly math
+without subprocesses.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+WORKER = REPO / "tests" / "mp_worker.py"
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _worker_env(extra: dict) -> dict:
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env.update(JAX_PLATFORMS="cpu", KPVID_PLATFORM="cpu")
+    env.update(extra)
+    return env
+
+
+def _run_single(out: Path, ckpt: Path):
+    proc = subprocess.run(
+        [sys.executable, str(WORKER), str(out), str(ckpt)],
+        cwd=REPO, env=_worker_env({"MP_WORKER_LOCAL_DEVICES": "2"}),
+        capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, f"single-proc worker:\n{proc.stdout}\n{proc.stderr}"
+
+
+def _run_two_proc(out: Path, ckpt: Path):
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = _worker_env({
+            "MP_WORKER_LOCAL_DEVICES": "1",
+            "KPVID_COORDINATOR": f"localhost:{port}",
+            "KPVID_NUM_PROCESSES": "2",
+            "KPVID_PROCESS_ID": str(pid),
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, str(WORKER), str(out), str(ckpt)],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        ))
+    outs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(stdout)
+    for p, stdout in zip(procs, outs):
+        assert p.returncode == 0, f"2-proc worker failed:\n{stdout}"
+
+
+def test_two_process_dp_matches_single_process(tmp_path):
+    """End-to-end: 2 coordinated processes (1 device each) produce — up to
+    cross-process reduction order — the same post-Adam params, first-step
+    metrics, and checkpoint as a single process over the identical 2-device
+    'data' mesh. Local batch 1 makes the assembled global batches
+    IDENTICAL in order, so even stage-2's noise-sample pairing matches
+    (see tests/mp_worker.py)."""
+    ref_out, ref_ckpt = tmp_path / "ref.npz", tmp_path / "ref_ckpt"
+    mp_out, mp_ckpt = tmp_path / "mp.npz", tmp_path / "mp_ckpt"
+    _run_single(ref_out, ref_ckpt)
+    _run_two_proc(mp_out, mp_ckpt)
+
+    ref = np.load(ref_out)
+    got = np.load(mp_out)
+    assert set(ref.files) == set(got.files)
+
+    # lr for the post-Adam bound (see test_parallel): one Adam step moves a
+    # sign-ambiguous (near-zero-grad) element by up to ~2*lr; after 2 steps
+    # allow 2x that. A real bug (missing psum / wrong assembly) blows the
+    # MEAN bound by orders of magnitude.
+    from kpvid_tpu.configs import TrainingConfig
+
+    lr = TrainingConfig().lr.start_val
+    for prefix in ("s1_g/", "s1_d/", "s2_g/", "s2_d/"):
+        keys = [k for k in ref.files if k.startswith(prefix)]
+        assert keys, prefix
+        total, count = 0.0, 0
+        for k in keys:
+            d = np.abs(ref[k] - got[k])
+            assert d.max() <= 4.2 * lr, f"{k}: {d.max()}"
+            total += float(d.sum())
+            count += d.size
+        assert total / count < 0.1 * lr, f"{prefix} mean diff {total / count}"
+    # BN stats: plain batch means/vars, permutation-invariant -> tight
+    for k in (k for k in ref.files if k.startswith("s1_bs/")):
+        np.testing.assert_allclose(got[k], ref[k], rtol=1e-4, atol=1e-6, err_msg=k)
+    # first-step metrics: computed from identical pre-update state on the
+    # same global batch (as a set) -> tight
+    for k in (k for k in ref.files if "_m0_" in k):
+        np.testing.assert_allclose(
+            float(got[k]), float(ref[k]), rtol=5e-3, atol=1e-5, err_msg=k
+        )
+    # the multi-process checkpoint was written once, by the primary
+    assert (mp_ckpt / "detector_translator" / "ckpt-2").is_dir()
+
+
+class TestLocalBatchAssembly:
+    """Construction-level checks of the per-host batch math (no
+    subprocesses)."""
+
+    def test_shards_partition_the_global_stream(self):
+        """Two hosts' local batches, interleaved, are a fixed permutation
+        of the single-host global batch — per step, not just per epoch."""
+        from kpvid_tpu.data.base import HostDataPipeline
+
+        class Ds:
+            def __len__(self):
+                return 12
+
+            def sample(self, idx, rng):
+                return {"x": np.full((2,), idx, np.float32)}
+
+        global_bs = 4
+        single = HostDataPipeline(Ds(), global_bs, shuffle=True, repeat=True, seed=7)
+        shard0 = HostDataPipeline(
+            Ds(), global_bs // 2, shuffle=True, repeat=True, seed=7,
+            shard_id=0, num_shards=2,
+        )
+        shard1 = HostDataPipeline(
+            Ds(), global_bs // 2, shuffle=True, repeat=True, seed=7,
+            shard_id=1, num_shards=2,
+        )
+        it_s, it_0, it_1 = single.batches(), shard0.batches(), shard1.batches()
+        for _ in range(5):  # crosses an epoch boundary (12 examples)
+            want = sorted(next(it_s)["x"][:, 0].tolist())
+            got = sorted(
+                next(it_0)["x"][:, 0].tolist() + next(it_1)["x"][:, 0].tolist()
+            )
+            assert got == want
+
+    def test_local_batch_size_divisibility(self, monkeypatch):
+        import jax
+
+        from kpvid_tpu.parallel import local_batch_size
+
+        assert local_batch_size(16) == 16  # single-process: identity
+        monkeypatch.setattr(jax, "process_count", lambda: 3)
+        with pytest.raises(ValueError, match="divisible"):
+            local_batch_size(16)
+        assert local_batch_size(15) == 5
