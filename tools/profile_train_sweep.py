@@ -119,6 +119,8 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", type=str, default="16,32,64")
+    ap.add_argument("--upsample", type=str, default=None,
+                    help="override model.upsample_mode (tf1/matmul/fused)")
     ap.add_argument("--skip-stage1", action="store_true")
     ap.add_argument("--skip-stage2", action="store_true")
     ap.add_argument("--skip-remat", action="store_true")
@@ -132,6 +134,10 @@ def main():
     from kpvid_tpu.train.stage2 import Stage2Trainer
 
     base = Config()  # production: 128^2, K=40, bf16
+    if args.upsample:
+        base = dataclasses.replace(
+            base, model=dataclasses.replace(base.model, upsample_mode=args.upsample)
+        ).validate()
     m = base.model
     keys = jax.random.split(jax.random.PRNGKey(0), 16)
     print(
