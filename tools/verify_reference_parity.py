@@ -48,6 +48,43 @@ def _psnr(a: np.ndarray, b: np.ndarray, peak: float = 255.0) -> float:
     return 10.0 * np.log10(peak * peak / max(mse, 1e-12))
 
 
+def pred_vs_real_psnr(root: Path, samples: list[Path]) -> tuple[float, int]:
+    """Mean per-frame PSNR of {sample}/pred_seq/*.png against the matching
+    real_seq frames under `root` (frames paired by name)."""
+    from PIL import Image
+
+    psnrs = []
+    for s in samples:
+        for pred_png in sorted((s / "pred_seq").glob("*.png")):
+            real_png = root / s.name / "real_seq" / pred_png.name
+            if not real_png.exists():
+                continue
+            psnrs.append(_psnr(
+                np.asarray(Image.open(pred_png)), np.asarray(Image.open(real_png))
+            ))
+    return float(np.mean(psnrs)), len(psnrs)
+
+
+def compare_against_reference(
+    eval_dir: Path, ref_root: Path, samples: list[Path], tolerance_db: float
+) -> tuple[bool, float, float, float]:
+    """(passed, ours_db, theirs_db, |delta|): each side's pred-vs-real PSNR
+    (z-draw independent), real frames taken from OUR render tree."""
+    ours, n_ours = pred_vs_real_psnr(eval_dir, samples)
+    ref_samples = [ref_root / s.name for s in samples
+                   if (ref_root / s.name / "pred_seq").is_dir()]
+    if not ref_samples:
+        raise SystemExit(
+            f"--reference-outputs {ref_root} has no matching "
+            "{idx:04d}/pred_seq/*.png renders"
+        )
+    theirs, n_ref = pred_vs_real_psnr(eval_dir, ref_samples)
+    if not n_ours or not n_ref:
+        raise SystemExit("no comparable frames found")
+    delta = abs(ours - theirs)
+    return delta <= tolerance_db, ours, theirs, delta
+
+
 def main():
     parser = ArgumentParser()
     parser.add_argument("--config", type=str, required=True)
@@ -90,66 +127,23 @@ def main():
     subprocess.run(cmd, check=True)
 
     # 3. PSNR(pred vs real) over rendered samples ------------------------
-    from PIL import Image
-
     samples = sorted(eval_dir.glob("[0-9]*"))[: args.max_samples]
     if not samples:
         raise SystemExit(f"no rendered samples under {eval_dir}")
-    psnrs = []
-    for s in samples:
-        for pred_png in sorted((s / "pred_seq").glob("*.png")):
-            real_png = s / "real_seq" / pred_png.name
-            if not real_png.exists():
-                continue
-            psnrs.append(_psnr(
-                np.asarray(Image.open(pred_png)), np.asarray(Image.open(real_png))
-            ))
-    mean_psnr = float(np.mean(psnrs))
+    mean_psnr, n_frames = pred_vs_real_psnr(eval_dir, samples)
     print(f"\npred-vs-real PSNR over {len(samples)} samples "
-          f"({len(psnrs)} frames): {mean_psnr:.3f} dB")
+          f"({n_frames} frames): {mean_psnr:.3f} dB")
 
-    # 4. optional: render-vs-reference-render comparison -----------------
+    # 4. optional: comparison against the reference's own renders --------
     if args.reference_outputs:
-        ref_root = Path(args.reference_outputs)
-        pairs = []
-        for s in samples:
-            ref_s = ref_root / s.name
-            if not (ref_s / "pred_seq").is_dir():
-                continue
-            for pred_png in sorted((s / "pred_seq").glob("*.png")):
-                ref_png = ref_s / "pred_seq" / pred_png.name
-                if ref_png.exists():
-                    pairs.append((pred_png, ref_png))
-        if not pairs:
-            raise SystemExit(
-                f"--reference-outputs {ref_root} has no matching "
-                "{idx:04d}/pred_seq/*.png renders"
-            )
-        # compare each side's pred-vs-real PSNR (z-draw independent), and
-        # the direct render-vs-render PSNR (diagnostic)
-        ours_vs_theirs = [
-            _psnr(np.asarray(Image.open(a)), np.asarray(Image.open(b)))
-            for a, b in pairs
-        ]
-        ref_psnrs = []
-        for s in samples:
-            ref_s = ref_root / s.name
-            for pred_png in sorted((ref_s / "pred_seq").glob("*.png")):
-                real_png = s / "real_seq" / pred_png.name
-                if real_png.exists():
-                    ref_psnrs.append(_psnr(
-                        np.asarray(Image.open(pred_png)),
-                        np.asarray(Image.open(real_png)),
-                    ))
-        ref_mean = float(np.mean(ref_psnrs))
-        delta = abs(mean_psnr - ref_mean)
-        print(f"reference pred-vs-real PSNR: {ref_mean:.3f} dB")
-        print(f"render-vs-render PSNR (diagnostic): "
-              f"{float(np.mean(ours_vs_theirs)):.3f} dB over {len(pairs)} frames")
-        verdict = "PASS" if delta <= args.tolerance_db else "FAIL"
+        passed, ours, theirs, delta = compare_against_reference(
+            eval_dir, Path(args.reference_outputs), samples, args.tolerance_db
+        )
+        print(f"reference pred-vs-real PSNR: {theirs:.3f} dB")
+        verdict = "PASS" if passed else "FAIL"
         print(f"\n{verdict}: |ours - reference| = {delta:.3f} dB "
               f"(tolerance {args.tolerance_db} dB)")
-        raise SystemExit(0 if verdict == "PASS" else 1)
+        raise SystemExit(0 if passed else 1)
     print("\n(no --reference-outputs given: rerun with the reference's "
           "evaluate.py renders for the 0.1 dB verdict)")
 
