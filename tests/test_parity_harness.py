@@ -92,3 +92,40 @@ def test_compare_against_reference_verdict(tmp_path):
     # no matching reference tree -> hard error
     with pytest.raises(SystemExit):
         compare_against_reference(ours, tmp_path / "missing", samples, 0.1)
+
+
+def test_partial_reference_tree_compares_matched_subset_only(tmp_path):
+    """A reference tree covering only SOME clips must not skew the verdict
+    with clip-difficulty differences: both means restrict to the matched
+    subset."""
+    ours = tmp_path / "ours"
+    # clip 0000 low-noise (easy), clip 0001 high-noise (hard)
+    _make_tree(ours, samples=1, frames=3, noise=4.0, seed=0)
+    d = ours / "0001"
+    rng = np.random.default_rng(5)
+    for t in range(3):
+        real = rng.integers(0, 255, (16, 16, 3)).astype(np.uint8)
+        pred = np.clip(
+            real.astype(np.float64) + rng.normal(0, 32.0, real.shape), 0, 255
+        ).astype(np.uint8)
+        _write(d / "real_seq" / f"{t:06d}.png", real)
+        _write(d / "pred_seq" / f"{t:06d}.png", pred)
+    samples = sorted(ours.glob("[0-9]*"))
+
+    # reference renders ONLY the hard clip 0001, matching our noise there
+    ref = tmp_path / "ref"
+    rng = np.random.default_rng(6)
+    for f in sorted((d / "real_seq").glob("*.png")):
+        real = np.asarray(Image.open(f))
+        pred = np.clip(
+            real.astype(np.float64) + rng.normal(0, 32.0, real.shape), 0, 255
+        ).astype(np.uint8)
+        _write(ref / "0001" / "pred_seq" / f.name, pred)
+
+    passed, ours_db, theirs_db, delta = compare_against_reference(
+        ours, ref, samples, tolerance_db=1.0
+    )
+    # ours restricted to clip 0001 (~18 dB), NOT the full-set mean that the
+    # easy clip would pull up ~6 dB — so the same-noise reference passes
+    assert passed, (ours_db, theirs_db, delta)
+    assert ours_db < 22.0

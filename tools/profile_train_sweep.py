@@ -160,7 +160,7 @@ def main():
         del s1, state
 
     if not args.skip_remat:
-        for bs in (batch_sizes[0], batch_sizes[-1]):
+        for bs in dict.fromkeys((batch_sizes[0], batch_sizes[-1])):
             for remat in (False, True):
                 cfg = dataclasses.replace(
                     base,

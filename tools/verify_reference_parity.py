@@ -69,16 +69,19 @@ def compare_against_reference(
     eval_dir: Path, ref_root: Path, samples: list[Path], tolerance_db: float
 ) -> tuple[bool, float, float, float]:
     """(passed, ours_db, theirs_db, |delta|): each side's pred-vs-real PSNR
-    (z-draw independent), real frames taken from OUR render tree."""
-    ours, n_ours = pred_vs_real_psnr(eval_dir, samples)
-    ref_samples = [ref_root / s.name for s in samples
-                   if (ref_root / s.name / "pred_seq").is_dir()]
-    if not ref_samples:
+    (z-draw independent), real frames taken from OUR render tree.
+
+    Both means are computed over the SAME matched subset of samples — a
+    reference tree covering only some clips must not skew the verdict
+    with clip-difficulty differences."""
+    matched = [s for s in samples if (ref_root / s.name / "pred_seq").is_dir()]
+    if not matched:
         raise SystemExit(
             f"--reference-outputs {ref_root} has no matching "
             "{idx:04d}/pred_seq/*.png renders"
         )
-    theirs, n_ref = pred_vs_real_psnr(eval_dir, ref_samples)
+    ours, n_ours = pred_vs_real_psnr(eval_dir, matched)
+    theirs, n_ref = pred_vs_real_psnr(eval_dir, [ref_root / s.name for s in matched])
     if not n_ours or not n_ref:
         raise SystemExit("no comparable frames found")
     delta = abs(ours - theirs)
@@ -139,7 +142,8 @@ def main():
         passed, ours, theirs, delta = compare_against_reference(
             eval_dir, Path(args.reference_outputs), samples, args.tolerance_db
         )
-        print(f"reference pred-vs-real PSNR: {theirs:.3f} dB")
+        print(f"matched-subset PSNR — ours: {ours:.3f} dB, "
+              f"reference: {theirs:.3f} dB")
         verdict = "PASS" if passed else "FAIL"
         print(f"\n{verdict}: |ours - reference| = {delta:.3f} dB "
               f"(tolerance {args.tolerance_db} dB)")
