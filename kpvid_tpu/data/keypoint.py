@@ -73,8 +73,13 @@ class VideoFramesDataset:
             frames[i] = np.asarray(im) if self.as_uint8 else augment.to_unit_float(im)
         return frames if self.as_uint8 else frames * 2.0 - 1.0
 
-    def iter_videos(self) -> Iterator[tuple[int, int, np.ndarray]]:
-        for idx in range(len(self.videos)):
+    def iter_videos(
+        self, shard_id: int = 0, num_shards: int = 1
+    ) -> Iterator[tuple[int, int, np.ndarray]]:
+        """Yield (video_id, n_frames, frames). shard_id/num_shards: strided
+        video sharding for multi-host labeling — only OWNED videos are
+        decoded (pass jax.process_index()/count())."""
+        for idx in range(shard_id, len(self.videos), num_shards):
             frames = self.load_video(idx)
             yield self.video_id(idx), frames.shape[0], frames
 

@@ -1,4 +1,5 @@
 from .distributed import (
+    barrier,
     is_primary,
     local_batch_size,
     maybe_initialize,
@@ -20,6 +21,7 @@ __all__ = [
     "param_sharding_rules",
     "shard_batch",
     "shard_state",
+    "barrier",
     "is_primary",
     "local_batch_size",
     "maybe_initialize",

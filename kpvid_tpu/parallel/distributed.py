@@ -36,29 +36,51 @@ from __future__ import annotations
 import os
 
 
+def _num_processes() -> int:
+    """Process count from the distributed runtime state WITHOUT touching
+    device backends (jax.process_count() would initialize them — before
+    platform overrides are applied, that silently freezes the wrong
+    backend for the whole process)."""
+    from jax._src import distributed as _dist
+
+    return _dist.global_state.num_processes or 1
+
+
 def maybe_initialize() -> bool:
     """Initialize jax.distributed from the environment if requested.
 
     Returns True when running multi-process (whether initialized by this
-    call or already initialized). Safe to call more than once.
+    call or already initialized). Safe to call more than once. Applies
+    the KPVID_PLATFORM/KPVID_HOST_DEVICE_COUNT overrides first and never
+    initializes device backends itself, so callers may still adjust jax
+    config afterwards.
     """
+    from ..utils.cache import apply_platform_overrides
+
+    apply_platform_overrides()
     import jax
 
-    already = getattr(jax.distributed, "is_initialized", None)
-    if already is not None and jax.distributed.is_initialized():
-        return jax.process_count() > 1
+    if jax.distributed.is_initialized():
+        return _num_processes() > 1
 
+    # all shards must exit within this window of each other or the
+    # coordination service's shutdown barrier kills the laggards; work
+    # skew is held by explicit barriers (e.g. the labeler's end barrier),
+    # but teardown skew on oversubscribed hosts still needs headroom
+    shutdown_s = int(os.environ.get("KPVID_SHUTDOWN_TIMEOUT", "900"))
     coord = os.environ.get("KPVID_COORDINATOR")
     if coord:
         num = int(os.environ["KPVID_NUM_PROCESSES"])
         pid = int(os.environ["KPVID_PROCESS_ID"])
         jax.distributed.initialize(
-            coordinator_address=coord, num_processes=num, process_id=pid
+            coordinator_address=coord, num_processes=num, process_id=pid,
+            shutdown_timeout_seconds=shutdown_s,
         )
-        return jax.process_count() > 1
+        return num > 1
     if os.environ.get("KPVID_MULTIHOST", "").lower() in ("1", "auto", "true"):
-        jax.distributed.initialize()  # auto-detect (TPU pod / GKE / Slurm)
-        return jax.process_count() > 1
+        # auto-detect (TPU pod / GKE / Slurm)
+        jax.distributed.initialize(shutdown_timeout_seconds=shutdown_s)
+        return _num_processes() > 1
     return False
 
 
@@ -99,3 +121,15 @@ def is_primary() -> bool:
     import jax
 
     return jax.process_index() == 0
+
+
+def barrier(name: str, timeout_ms: int = 900_000) -> None:
+    """Coordination-service barrier across all processes (NOT a device
+    collective — safe regardless of gloo/ICI context state, and with a
+    generous timeout, unlike the ~30s rendezvous inside the first
+    collective execution). No-op when single-process."""
+    from jax._src import distributed as _dist
+
+    client = _dist.global_state.client
+    if client is not None:
+        client.wait_at_barrier(name, timeout_in_ms=timeout_ms)

@@ -36,6 +36,13 @@ def main():
                         help="frames per device chunk (default: config data.labeler_chunk)")
     args = parser.parse_args()
 
+    # multi-host: shard videos across processes (the job is embarrassingly
+    # parallel — each host labels its stride of the video list on its own
+    # chip(s) and writes to the shared pseudo_labels/ dir; no collectives)
+    from kpvid_tpu.parallel import barrier, is_primary, maybe_initialize
+
+    multiproc = maybe_initialize()
+
     import jax
     import jax.numpy as jnp
 
@@ -60,7 +67,10 @@ def main():
     if args.synthetic:
         from kpvid_tpu.data import make_synthetic_penn_tree
 
-        make_synthetic_penn_tree(data_dir)
+        if is_primary():  # one writer on a shared filesystem
+            make_synthetic_penn_tree(data_dir)
+        if multiproc:
+            barrier("kpvid_labeler_synthetic")
     chunk = args.chunk or config.data.labeler_chunk
     out_dir = touch_dir(osp.join(data_dir, "pseudo_labels"))
 
@@ -121,8 +131,12 @@ def main():
             ds = VideoFramesDataset(
                 data_dir, subset, image_size=m_cfg.image_size, as_uint8=True
             )
-            logger.info("%s set: %d videos", subset, len(ds))
-            yield from ds.iter_videos()
+            if is_primary():
+                logger.info("%s set: %d videos", subset, len(ds))
+            # multi-host: this process decodes+labels only its video stride
+            yield from ds.iter_videos(
+                shard_id=jax.process_index(), num_shards=jax.process_count()
+            )
 
     buffers: dict[int, np.ndarray] = {}
     remaining: dict[int, int] = {}
@@ -159,9 +173,14 @@ def main():
     assert not remaining, f"incomplete videos: {sorted(remaining)}"
     dt = time.perf_counter() - t0
     logger.info(
-        "labeled %d videos / %d frames in %.1fs (%.1f frames/s)",
+        "labeled %d videos / %d frames in %.1fs (%.1f frames/s)%s",
         n_done, n_frames_total, dt, n_frames_total / max(dt, 1e-9),
+        f" [process {jax.process_index()}/{jax.process_count()}]" if multiproc else "",
     )
+    if multiproc:
+        # all shards complete before anyone (e.g. a chained stage-2 train)
+        # reads the label dir
+        barrier("kpvid_labeler_done")
 
 
 if __name__ == "__main__":

@@ -108,20 +108,15 @@ def make_iter(ds, mesh):
     return device_prefetch(pipe.batches(), size=2, sharding=batch_sharding(mesh))
 
 
-def barrier(name: str, timeout_ms: int = 900_000):
-    """Coordination-service barrier (NOT a device collective). The Gloo
-    rendezvous inside the first collective execution has a hardcoded ~30s
-    key-value timeout; on a 1-core host the two processes can finish their
-    multi-minute XLA compiles more than 30s apart, so each jitted step is
-    AOT-compiled first and the processes re-sync here before executing."""
-    from jax._src import distributed
-
-    client = distributed.global_state.client
-    if client is not None:
-        client.wait_at_barrier(name, timeout_in_ms=timeout_ms)
-
-
 def compile_then_sync(jitted, name, *args):
+    """AOT-compile, then re-sync through the coordination service. The
+    Gloo rendezvous inside the first collective execution has a hardcoded
+    ~30s key-value timeout; on a 1-core host the two processes can finish
+    their multi-minute XLA compiles more than 30s apart, so compile first
+    and barrier (kpvid_tpu.parallel.barrier — NOT a device collective)
+    before executing."""
+    from kpvid_tpu.parallel import barrier
+
     compiled = jitted.lower(*args).compile()
     barrier(name)
     return compiled

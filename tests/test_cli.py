@@ -121,6 +121,64 @@ def test_stage2_train_cli_miniature(mini_stage2):
     assert list(mini_stage2.glob("*.jsonl")), "stage-2 metric logs not written"
 
 
+def test_labeler_two_process_matches_single(mini_env, mini_labels):
+    """Multi-host pseudo-labeling: two coordinated processes (strided
+    video shards, shared output dir, coordination barriers, no
+    collectives) produce byte-identical labels to the single-process run."""
+    import shutil
+    import socket
+
+    import numpy as np
+
+    want = {p.name: np.load(p) for p in sorted(mini_labels.glob("*.npy"))}
+    assert want
+
+    # separate data tree so the shared fixture's labels stay intact
+    penn2 = mini_env / "penn2"
+    if not penn2.exists():
+        shutil.copytree(mini_env / "penn", penn2, ignore=shutil.ignore_patterns("pseudo_labels"))
+    cfg2 = mini_env / "cfg2.yaml"
+    cfg2.write_text(
+        (mini_env / "cfg.yaml").read_text().replace(f"{mini_env}/penn", str(penn2))
+    )
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    procs = []
+    logs = [mini_env / f"labeler_p{pid}.log" for pid in range(2)]
+    for pid in range(2):
+        env = dict(os.environ, JAX_PLATFORMS="cpu", KPVID_PLATFORM="cpu")
+        env.pop("XLA_FLAGS", None)
+        env.update(
+            KPVID_COORDINATOR=f"localhost:{port}",
+            KPVID_NUM_PROCESSES="2",
+            KPVID_PROCESS_ID=str(pid),
+        )
+        # log to FILES: a filled stdout pipe would block a writer while the
+        # parent waits on the other process (classic multi-proc deadlock)
+        procs.append(subprocess.Popen(
+            [sys.executable, "make_pseudo_labels.py", "--config", str(cfg2),
+             "--checkpoint", f"{mini_env}/results/detector_translator"],
+            cwd=REPO, env=env,
+            stdout=logs[pid].open("w"), stderr=subprocess.STDOUT,
+        ))
+    for p in procs:
+        try:
+            p.wait(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"2-proc labeler failed:\n{log.read_text()}"
+
+    got = {p.name: np.load(p) for p in sorted((penn2 / "pseudo_labels").glob("*.npy"))}
+    assert set(got) == set(want)
+    for name in want:
+        np.testing.assert_array_equal(got[name], want[name], err_msg=name)
+
+
 def test_evaluate_cli_miniature(mini_env, mini_stage2):
     """Always-on evaluate smoke: CLI arg plumbing + the reference's
     per-sample PNG tree (evaluate.py:100-131)."""

@@ -49,6 +49,7 @@ def _run_single(out: Path, ckpt: Path):
 def _run_two_proc(out: Path, ckpt: Path):
     port = _free_port()
     procs = []
+    logs = [out.parent / f"mp_worker_p{pid}.log" for pid in range(2)]
     for pid in range(2):
         env = _worker_env({
             "MP_WORKER_LOCAL_DEVICES": "1",
@@ -56,22 +57,22 @@ def _run_two_proc(out: Path, ckpt: Path):
             "KPVID_NUM_PROCESSES": "2",
             "KPVID_PROCESS_ID": str(pid),
         })
+        # log to FILES: a filled stdout pipe would block a writer while the
+        # parent waits on the other process (classic multi-proc deadlock)
         procs.append(subprocess.Popen(
             [sys.executable, str(WORKER), str(out), str(ckpt)],
             cwd=REPO, env=env,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            stdout=logs[pid].open("w"), stderr=subprocess.STDOUT,
         ))
-    outs = []
     for p in procs:
         try:
-            stdout, _ = p.communicate(timeout=900)
+            p.wait(timeout=900)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
             raise
-        outs.append(stdout)
-    for p, stdout in zip(procs, outs):
-        assert p.returncode == 0, f"2-proc worker failed:\n{stdout}"
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"2-proc worker failed:\n{log.read_text()}"
 
 
 def test_two_process_dp_matches_single_process(tmp_path):
