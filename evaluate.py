@@ -44,7 +44,10 @@ def main():
     parser.add_argument("--save_dir", type=str, default="results/eval")
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--batch_size", type=int, default=None)
-    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--seed", type=int, default=0,
+                        help="z-noise seed; batch b draws fold_in(seed, b), "
+                             "independent of how batches are distributed "
+                             "across processes")
     parser.add_argument("--gif", action="store_true",
                         help="additionally write pred.gif/real.gif per sample")
     parser.add_argument("--mesh", action="store_true",
@@ -55,6 +58,13 @@ def main():
                              "test_serving_generate_dp). Ragged tail batches "
                              "fall back to replicated compute.")
     args = parser.parse_args()
+
+    # multi-host: shard the test sweep across processes (embarrassingly
+    # parallel — each host generates+writes its stride of the BATCH list
+    # into the shared save_dir; byte-identical to a single-host run)
+    from kpvid_tpu.parallel import barrier, is_primary, maybe_initialize
+
+    multiproc = maybe_initialize()
 
     import jax
     import jax.numpy as jnp
@@ -78,8 +88,11 @@ def main():
         from kpvid_tpu.data import make_synthetic_penn_tree
         from kpvid_tpu.data.synthetic import make_synthetic_pseudo_labels
 
-        make_synthetic_penn_tree(data_dir)
-        make_synthetic_pseudo_labels(data_dir, n_pts=m_cfg.n_pts)
+        if is_primary():  # one writer on a shared filesystem
+            make_synthetic_penn_tree(data_dir)
+            make_synthetic_pseudo_labels(data_dir, n_pts=m_cfg.n_pts)
+        if multiproc:
+            barrier("kpvid_eval_synthetic")
 
     ck1 = _resolve_ckpt(args.checkpoint_stage1, "--checkpoint_stage1")
     ck2 = _resolve_ckpt(args.checkpoint_stage2, "--checkpoint_stage2")
@@ -90,6 +103,13 @@ def main():
 
     # two-checkpoint composition via name-filtered merge (reference
     # restores both ckpts into one graph; evaluate.py:76-77)
+    if multiproc:
+        # orbax's restore runs a cross-process sync — the process group's
+        # FIRST collective, whose Gloo context init has a hardcoded ~30s
+        # window, less than process-start skew on busy hosts. Re-sync
+        # through the coordination service (generous timeout) first so all
+        # processes enter the restore together.
+        barrier("kpvid_eval_restore")
     r1 = restore_checkpoint(ck1)
     s1_target = {"params": s1_vars["params"], "batch_stats": s1_vars["batch_stats"]}
     s1_merged, n1 = merge_restore(
@@ -104,6 +124,14 @@ def main():
 
     mesh = batch_sh = None
     if args.mesh:
+        if multiproc:
+            # the two scaling modes are redundant: under multi-host each
+            # process already keeps its own chip(s) busy on its batch shard
+            raise ValueError(
+                "--mesh shards one batch over a global mesh; under "
+                "multi-process execution use the per-host batch sharding "
+                "instead (drop --mesh)"
+            )
         from kpvid_tpu.parallel import batch_sharding, make_mesh, replicate
 
         mesh = make_mesh(n_model=1)
@@ -123,14 +151,24 @@ def main():
         sequence_len=config.data.sequence_len, image_size=m_cfg.image_size,
         with_image_seq=True,
     )
+    # multi-host: batch-aligned shard — this process produces EXACTLY the
+    # batches a single-host run would see at global batch indices
+    # process_index, process_index + process_count, …
     pipe = HostDataPipeline(
         test_ds, batch_size, num_workers=config.data.num_workers,
         seed=0, drop_remainder=False,
+        shard_id=jax.process_index(), num_shards=jax.process_count(),
+        shard_granularity="batch",
     )
 
+    # per-batch keys are derived by fold_in(seed, global_batch_index), so
+    # any process can compute batch b's z-noise independently and the
+    # sharded sweep is byte-identical to the single-host one
     rng = jax.random.PRNGKey(args.seed)
-    sample_idx = 0
-    for batch in pipe.batches():
+    n_written = 0
+    for k, batch in enumerate(pipe.batches()):
+        global_b = jax.process_index() + k * jax.process_count()
+        sample_idx = global_b * batch_size
         bs = batch["image"].shape[0]
         if mesh is not None and bs % mesh.shape["data"] == 0:
             # one H2D transfer straight into the target layout (no staging
@@ -142,14 +180,14 @@ def main():
             # them out against the replicated params — exact, just unsharded
             im = jnp.asarray(batch["image"])
             act = jnp.asarray(batch["action_code"])
-        rng, gen_rng = jax.random.split(rng)
+        gen_rng = jax.random.fold_in(rng, global_b)
         out = generate(s1_merged, s2_params, im, act, gen_rng)
         cur_pts_img = np.asarray(render_points(out["current_points"]))
         fut_pts_img = np.asarray(
             render_points(out["future_points"].reshape(-1, m_cfg.n_pts, 2))
         ).reshape(bs, m_cfg.n_future_frames, m_cfg.image_size, m_cfg.image_size, 3)
 
-        out_np = {k: np.asarray(v) for k, v in out.items()}
+        out_np = {key: np.asarray(v) for key, v in out.items()}
         for b in range(bs):
             d = touch_dir(osp.join(args.save_dir, f"{sample_idx:04d}"))
             _save_img(d / "input_im.png", out_np["im"][b], rescale=True)
@@ -163,7 +201,14 @@ def main():
                 _save_gif(d / "pred.gif", out_np["pred_im_seq"][b], rescale=True)
                 _save_gif(d / "real.gif", batch["real_im_seq"][b], rescale=True)
             sample_idx += 1
-    logger.info("wrote %d samples to %s", sample_idx, args.save_dir)
+            n_written += 1
+    logger.info(
+        "wrote %d samples to %s%s", n_written, args.save_dir,
+        f" [process {jax.process_index()}/{jax.process_count()}]" if multiproc else "",
+    )
+    if multiproc:
+        # every shard's PNGs land before anyone reads the tree
+        barrier("kpvid_eval_done")
 
 
 def _save_gif(file_path, seq: np.ndarray, rescale: bool, fps: int = 8):

@@ -53,11 +53,21 @@ class HostDataPipeline:
         shard_id: int = 0,
         num_shards: int = 1,
         start_sample: int = 0,
+        shard_granularity: str = "sample",
     ):
         """shard_id/num_shards: per-host data sharding for multi-host DP —
         every host draws the same seeded permutation and takes a strided
         slice, so shards partition each epoch exactly (pass
         jax.process_index()/jax.process_count()).
+
+        shard_granularity: 'sample' (default) strides individual indices —
+        right for training, where each host feeds a local slice of every
+        global batch. 'batch' strides whole batch_size-aligned chunks of
+        the index stream, so each host's batches() yields EXACTLY the
+        batches a single-host run would produce at global batch indices
+        shard_id, shard_id+num_shards, … — right for embarrassingly
+        parallel sweeps (multi-host evaluate) where per-batch outputs must
+        be byte-identical to the single-host run.
 
         start_sample: resume the index stream after this many already-
         consumed samples (per shard). Each epoch's permutation is seeded
@@ -81,8 +91,11 @@ class HostDataPipeline:
         self.seed = seed
         if not 0 <= shard_id < num_shards:
             raise ValueError(f"shard_id {shard_id} not in [0, {num_shards})")
+        if shard_granularity not in ("sample", "batch"):
+            raise ValueError(f"unknown shard_granularity {shard_granularity!r}")
         self.shard_id = shard_id
         self.num_shards = num_shards
+        self.shard_granularity = shard_granularity
         self.start_sample = start_sample
         # training (repeat) wants static shapes -> drop remainder; eval
         # sweeps want every sample -> keep the ragged final batch
@@ -97,6 +110,11 @@ class HostDataPipeline:
     def _shard(self, idxs: np.ndarray) -> np.ndarray:
         if self.num_shards == 1:
             return idxs
+        if self.shard_granularity == "batch":
+            b = self.batch_size
+            chunks = [idxs[i : i + b] for i in range(0, len(idxs), b)]
+            own = chunks[self.shard_id :: self.num_shards]
+            return np.concatenate(own) if own else idxs[:0]
         return idxs[self.shard_id :: self.num_shards]
 
     def _index_stream(self) -> Iterator[tuple[int, int]]:

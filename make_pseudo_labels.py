@@ -99,6 +99,13 @@ def main():
         if resolved is None:
             raise FileNotFoundError(f"no ckpt-N directories under {ckpt}")
         ckpt = resolved
+    if multiproc:
+        # orbax's restore runs a cross-process sync — the process group's
+        # FIRST collective, whose Gloo context init has a hardcoded ~30s
+        # window, less than process-start skew on busy hosts. Re-sync
+        # through the coordination service (generous timeout) first so all
+        # processes enter the restore together.
+        barrier("kpvid_labeler_restore")
     restored = restore_checkpoint(ckpt)
     # the stage-1 checkpoint stores a full GANTrainState; graft its
     # generator params + BN stats into the inference variables

@@ -121,12 +121,45 @@ def test_stage2_train_cli_miniature(mini_stage2):
     assert list(mini_stage2.glob("*.jsonl")), "stage-2 metric logs not written"
 
 
+def _run_two_coordinated(cli_args: list, logs: list):
+    """Launch the same repo CLI in 2 coordinated CPU processes against a
+    localhost jax.distributed coordinator; assert both exit 0."""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ, JAX_PLATFORMS="cpu", KPVID_PLATFORM="cpu")
+        env.pop("XLA_FLAGS", None)
+        env.update(
+            KPVID_COORDINATOR=f"localhost:{port}",
+            KPVID_NUM_PROCESSES="2",
+            KPVID_PROCESS_ID=str(pid),
+        )
+        # log to FILES: a filled stdout pipe would block a writer while the
+        # parent waits on the other process (classic multi-proc deadlock)
+        procs.append(subprocess.Popen(
+            [sys.executable] + cli_args, cwd=REPO, env=env,
+            stdout=logs[pid].open("w"), stderr=subprocess.STDOUT,
+        ))
+    for p in procs:
+        try:
+            p.wait(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"2-proc {cli_args[0]} failed:\n{log.read_text()}"
+
+
 def test_labeler_two_process_matches_single(mini_env, mini_labels):
     """Multi-host pseudo-labeling: two coordinated processes (strided
     video shards, shared output dir, coordination barriers, no
     collectives) produce byte-identical labels to the single-process run."""
     import shutil
-    import socket
 
     import numpy as np
 
@@ -142,36 +175,11 @@ def test_labeler_two_process_matches_single(mini_env, mini_labels):
         (mini_env / "cfg.yaml").read_text().replace(f"{mini_env}/penn", str(penn2))
     )
 
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
-    procs = []
-    logs = [mini_env / f"labeler_p{pid}.log" for pid in range(2)]
-    for pid in range(2):
-        env = dict(os.environ, JAX_PLATFORMS="cpu", KPVID_PLATFORM="cpu")
-        env.pop("XLA_FLAGS", None)
-        env.update(
-            KPVID_COORDINATOR=f"localhost:{port}",
-            KPVID_NUM_PROCESSES="2",
-            KPVID_PROCESS_ID=str(pid),
-        )
-        # log to FILES: a filled stdout pipe would block a writer while the
-        # parent waits on the other process (classic multi-proc deadlock)
-        procs.append(subprocess.Popen(
-            [sys.executable, "make_pseudo_labels.py", "--config", str(cfg2),
-             "--checkpoint", f"{mini_env}/results/detector_translator"],
-            cwd=REPO, env=env,
-            stdout=logs[pid].open("w"), stderr=subprocess.STDOUT,
-        ))
-    for p in procs:
-        try:
-            p.wait(timeout=900)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-    for p, log in zip(procs, logs):
-        assert p.returncode == 0, f"2-proc labeler failed:\n{log.read_text()}"
+    _run_two_coordinated(
+        ["make_pseudo_labels.py", "--config", str(cfg2),
+         "--checkpoint", f"{mini_env}/results/detector_translator"],
+        [mini_env / f"labeler_p{pid}.log" for pid in range(2)],
+    )
 
     got = {p.name: np.load(p) for p in sorted((penn2 / "pseudo_labels").glob("*.npy"))}
     assert set(got) == set(want)
@@ -191,6 +199,31 @@ def test_evaluate_cli_miniature(mini_env, mini_stage2):
     assert (sample / "current_points.png").exists()
     for sub in ("real_seq", "pred_seq", "mask", "crude", "pred_points"):
         assert len(list((sample / sub).glob("*.png"))) == 32, sub
+
+
+def test_evaluate_two_process_matches_single(mini_env, mini_stage2):
+    """Multi-host evaluate: two coordinated processes (batch-aligned test
+    shards, per-batch fold_in z keys, shared save_dir) write a PNG tree
+    byte-identical to the single-process run. batch_size=1 gives the 2-video
+    synthetic test set one batch per process."""
+    eval_args = ["evaluate.py", "--config", str(mini_env / "cfg.yaml"),
+                 "--checkpoint_stage1", f"{mini_env}/results/detector_translator",
+                 "--checkpoint_stage2", f"{mini_env}/results/motion_generator",
+                 "--batch_size", "1"]
+    run(eval_args + ["--save_dir", f"{mini_env}/evalS"])
+    _run_two_coordinated(
+        eval_args + ["--save_dir", f"{mini_env}/evalM"],
+        [mini_env / f"eval_p{pid}.log" for pid in range(2)],
+    )
+
+    want = sorted(p.relative_to(mini_env / "evalS")
+                  for p in (mini_env / "evalS").rglob("*.png"))
+    got = sorted(p.relative_to(mini_env / "evalM")
+                 for p in (mini_env / "evalM").rglob("*.png"))
+    assert want and got == want
+    for rel in want:
+        assert (mini_env / "evalM" / rel).read_bytes() == \
+            (mini_env / "evalS" / rel).read_bytes(), rel
 
 
 @_full_chain

@@ -155,6 +155,36 @@ class TestLocalBatchAssembly:
             )
             assert got == want
 
+    def test_batch_granularity_shards_are_the_global_batches(self):
+        """'batch' granularity: shard p's batches() yields EXACTLY the
+        single-host batches at global indices p, p+P, … — including the
+        ragged tail batch, owned by whichever shard the last chunk lands
+        on. (The multi-host evaluate contract.)"""
+        from kpvid_tpu.data.base import HostDataPipeline
+
+        class Ds:
+            def __len__(self):
+                return 11  # 4 batches of 3: last is ragged (2 samples)
+
+            def sample(self, idx, rng):
+                return {"x": np.full((2,), idx, np.float32)}
+
+        def batch_list(pipe):
+            return [b["x"][:, 0].tolist() for b in pipe.batches()]
+
+        single = batch_list(HostDataPipeline(Ds(), 3, drop_remainder=False))
+        for n_shards in (2, 3):
+            shards = [
+                batch_list(HostDataPipeline(
+                    Ds(), 3, drop_remainder=False,
+                    shard_id=p, num_shards=n_shards,
+                    shard_granularity="batch",
+                ))
+                for p in range(n_shards)
+            ]
+            for gb, want in enumerate(single):
+                assert shards[gb % n_shards][gb // n_shards] == want
+
     def test_local_batch_size_divisibility(self, monkeypatch):
         import jax
 
