@@ -201,6 +201,25 @@ def test_evaluate_cli_miniature(mini_env, mini_stage2):
         assert len(list((sample / sub).glob("*.png"))) == 32, sub
 
 
+def test_evaluate_png_workers_identical(mini_env, mini_stage2):
+    """The threaded PNG writer (--png-workers) produces a byte-identical
+    tree to the serial one."""
+    eval_args = ["evaluate.py", "--config", str(mini_env / "cfg.yaml"),
+                 "--checkpoint_stage1", f"{mini_env}/results/detector_translator",
+                 "--checkpoint_stage2", f"{mini_env}/results/motion_generator",
+                 "--batch_size", "2", "--gif"]
+    run(eval_args + ["--save_dir", f"{mini_env}/evalP1", "--png-workers", "1"])
+    run(eval_args + ["--save_dir", f"{mini_env}/evalP4", "--png-workers", "4"])
+    want = sorted(p.relative_to(mini_env / "evalP1")
+                  for p in (mini_env / "evalP1").rglob("*.*"))
+    got = sorted(p.relative_to(mini_env / "evalP4")
+                 for p in (mini_env / "evalP4").rglob("*.*"))
+    assert want and got == want
+    for rel in want:
+        assert (mini_env / "evalP4" / rel).read_bytes() == \
+            (mini_env / "evalP1" / rel).read_bytes(), rel
+
+
 def test_evaluate_two_process_matches_single(mini_env, mini_stage2):
     """Multi-host evaluate: two coordinated processes (batch-aligned test
     shards, per-batch fold_in z keys, shared save_dir) write a PNG tree
