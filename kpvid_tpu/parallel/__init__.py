@@ -3,6 +3,7 @@ from .distributed import (
     is_primary,
     local_batch_size,
     maybe_initialize,
+    synced_compile,
     put_batch,
 )
 from .mesh import make_mesh
@@ -25,5 +26,6 @@ __all__ = [
     "is_primary",
     "local_batch_size",
     "maybe_initialize",
+    "synced_compile",
     "put_batch",
 ]

@@ -133,3 +133,41 @@ def barrier(name: str, timeout_ms: int = 900_000) -> None:
     client = _dist.global_state.client
     if client is not None:
         client.wait_at_barrier(name, timeout_in_ms=timeout_ms)
+
+
+def synced_compile(jitted, name: str):
+    """Wrap a jitted step so multi-process compile skew can never trip the
+    backend's first-collective rendezvous window.
+
+    Executing a cross-process program rendezvouses the processes with a
+    backend-fixed timeout (Gloo's key-value window is a hardcoded ~30s);
+    XLA compiles can take minutes and finish at very different times
+    across hosts (one warm cache, one cold), so executing straight after
+    compiling can strand the fast host in the rendezvous. The wrapper
+    AOT-compiles on first use of each argument shape, re-syncs every
+    process through the coordination service (generous timeout), and only
+    then executes — thereafter calls go straight to the compiled
+    executable. Shapes are keyed so e.g. an eval sweep's ragged tail batch
+    compiles (and syncs) independently; all processes must encounter new
+    shapes at the same call sites in the same order (true for the
+    deterministic train/eval streams). Single-process: returns `jitted`
+    unchanged.
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return jitted
+
+    compiled: dict = {}
+
+    def call(*args):
+        key = tuple(
+            (tuple(leaf.shape), str(leaf.dtype)) for leaf in jax.tree.leaves(args)
+        )
+        if key not in compiled:
+            executable = jitted.lower(*args).compile()
+            barrier(f"synced_compile:{name}:{len(compiled)}")
+            compiled[key] = executable
+        return compiled[key](*args)
+
+    return call

@@ -12,6 +12,8 @@ from pathlib import Path
 
 import pytest
 
+from mp_launch import run_coordinated
+
 _full_chain = pytest.mark.skipif(
     os.environ.get("KPVID_CLI_TESTS") != "1",
     reason="set KPVID_CLI_TESTS=1 to run the full CLI chain",
@@ -121,40 +123,6 @@ def test_stage2_train_cli_miniature(mini_stage2):
     assert list(mini_stage2.glob("*.jsonl")), "stage-2 metric logs not written"
 
 
-def _run_two_coordinated(cli_args: list, logs: list):
-    """Launch the same repo CLI in 2 coordinated CPU processes against a
-    localhost jax.distributed coordinator; assert both exit 0."""
-    import socket
-
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
-    procs = []
-    for pid in range(2):
-        env = dict(os.environ, JAX_PLATFORMS="cpu", KPVID_PLATFORM="cpu")
-        env.pop("XLA_FLAGS", None)
-        env.update(
-            KPVID_COORDINATOR=f"localhost:{port}",
-            KPVID_NUM_PROCESSES="2",
-            KPVID_PROCESS_ID=str(pid),
-        )
-        # log to FILES: a filled stdout pipe would block a writer while the
-        # parent waits on the other process (classic multi-proc deadlock)
-        procs.append(subprocess.Popen(
-            [sys.executable] + cli_args, cwd=REPO, env=env,
-            stdout=logs[pid].open("w"), stderr=subprocess.STDOUT,
-        ))
-    for p in procs:
-        try:
-            p.wait(timeout=900)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-    for p, log in zip(procs, logs):
-        assert p.returncode == 0, f"2-proc {cli_args[0]} failed:\n{log.read_text()}"
-
-
 def test_labeler_two_process_matches_single(mini_env, mini_labels):
     """Multi-host pseudo-labeling: two coordinated processes (strided
     video shards, shared output dir, coordination barriers, no
@@ -175,7 +143,7 @@ def test_labeler_two_process_matches_single(mini_env, mini_labels):
         (mini_env / "cfg.yaml").read_text().replace(f"{mini_env}/penn", str(penn2))
     )
 
-    _run_two_coordinated(
+    run_coordinated(
         ["make_pseudo_labels.py", "--config", str(cfg2),
          "--checkpoint", f"{mini_env}/results/detector_translator"],
         [mini_env / f"labeler_p{pid}.log" for pid in range(2)],
@@ -185,6 +153,37 @@ def test_labeler_two_process_matches_single(mini_env, mini_labels):
     assert set(got) == set(want)
     for name in want:
         np.testing.assert_array_equal(got[name], want[name], err_msg=name)
+
+
+def test_train_two_process_cli(mini_env):
+    """Multi-host training through the REAL train.py CLI: 2 coordinated
+    processes (1 CPU device each -> the 2-device 'data' mesh), per-host
+    local batches + global assembly, synced AOT compiles
+    (parallel.synced_compile), the multi-process test sweep, and the
+    collective checkpoint save. Numerics equivalence of the underlying
+    trainers is proven in tests/test_multiprocess.py; this covers
+    train.py's own multi-host wiring end to end."""
+    import shutil
+
+    penn3 = mini_env / "penn3"
+    if not penn3.exists():
+        shutil.copytree(mini_env / "penn", penn3,
+                        ignore=shutil.ignore_patterns("pseudo_labels"))
+    cfg3 = mini_env / "cfg3.yaml"
+    cfg3.write_text(
+        (mini_env / "cfg.yaml").read_text()
+        .replace(f"{mini_env}/penn", str(penn3))
+        .replace(f"{mini_env}/results", f"{mini_env}/results_mp")
+    )
+    run_coordinated(
+        ["train.py", "--mode", "detector_translator", "--config", str(cfg3),
+         "--max-steps", "2", "--no-images"],
+        [mini_env / f"train_p{pid}.log" for pid in range(2)],
+    )
+    ckpt = mini_env / "results_mp" / "detector_translator" / "ckpt-2"
+    assert ckpt.is_dir(), "primary did not write the final checkpoint"
+    metrics = list((mini_env / "results_mp").glob("**/*.jsonl"))
+    assert metrics, "primary did not write metric logs"
 
 
 def test_evaluate_cli_miniature(mini_env, mini_stage2):
@@ -230,7 +229,7 @@ def test_evaluate_two_process_matches_single(mini_env, mini_stage2):
                  "--checkpoint_stage2", f"{mini_env}/results/motion_generator",
                  "--batch_size", "1"]
     run(eval_args + ["--save_dir", f"{mini_env}/evalS"])
-    _run_two_coordinated(
+    run_coordinated(
         eval_args + ["--save_dir", f"{mini_env}/evalM"],
         [mini_env / f"eval_p{pid}.log" for pid in range(2)],
     )

@@ -12,7 +12,6 @@ without subprocesses.
 """
 
 import os
-import socket
 import subprocess
 import sys
 from pathlib import Path
@@ -20,59 +19,29 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+from mp_launch import run_coordinated
+
 REPO = Path(__file__).resolve().parent.parent
 WORKER = REPO / "tests" / "mp_worker.py"
 
 
-def _free_port() -> int:
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        return s.getsockname()[1]
-
-
-def _worker_env(extra: dict) -> dict:
-    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
-    env.update(JAX_PLATFORMS="cpu", KPVID_PLATFORM="cpu")
-    env.update(extra)
-    return env
-
-
 def _run_single(out: Path, ckpt: Path):
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env.update(JAX_PLATFORMS="cpu", KPVID_PLATFORM="cpu",
+               MP_WORKER_LOCAL_DEVICES="2")
     proc = subprocess.run(
         [sys.executable, str(WORKER), str(out), str(ckpt)],
-        cwd=REPO, env=_worker_env({"MP_WORKER_LOCAL_DEVICES": "2"}),
-        capture_output=True, text=True, timeout=900,
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900,
     )
     assert proc.returncode == 0, f"single-proc worker:\n{proc.stdout}\n{proc.stderr}"
 
 
 def _run_two_proc(out: Path, ckpt: Path):
-    port = _free_port()
-    procs = []
-    logs = [out.parent / f"mp_worker_p{pid}.log" for pid in range(2)]
-    for pid in range(2):
-        env = _worker_env({
-            "MP_WORKER_LOCAL_DEVICES": "1",
-            "KPVID_COORDINATOR": f"localhost:{port}",
-            "KPVID_NUM_PROCESSES": "2",
-            "KPVID_PROCESS_ID": str(pid),
-        })
-        # log to FILES: a filled stdout pipe would block a writer while the
-        # parent waits on the other process (classic multi-proc deadlock)
-        procs.append(subprocess.Popen(
-            [sys.executable, str(WORKER), str(out), str(ckpt)],
-            cwd=REPO, env=env,
-            stdout=logs[pid].open("w"), stderr=subprocess.STDOUT,
-        ))
-    for p in procs:
-        try:
-            p.wait(timeout=900)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-    for p, log in zip(procs, logs):
-        assert p.returncode == 0, f"2-proc worker failed:\n{log.read_text()}"
+    run_coordinated(
+        [WORKER, out, ckpt],
+        [out.parent / f"mp_worker_p{pid}.log" for pid in range(2)],
+        env_extra={"MP_WORKER_LOCAL_DEVICES": "1"},
+    )
 
 
 def test_two_process_dp_matches_single_process(tmp_path):

@@ -52,7 +52,13 @@ def main():
     # multi-host wiring: must happen before any other jax backend use.
     # No-op unless KPVID_COORDINATOR/KPVID_NUM_PROCESSES/KPVID_PROCESS_ID
     # or KPVID_MULTIHOST=auto are set (see kpvid_tpu/parallel/distributed.py).
-    from kpvid_tpu.parallel import is_primary, local_batch_size, maybe_initialize
+    from kpvid_tpu.parallel import (
+        barrier,
+        is_primary,
+        local_batch_size,
+        maybe_initialize,
+        synced_compile,
+    )
 
     multiproc = maybe_initialize()
 
@@ -83,9 +89,10 @@ def main():
             if args.mode == "motion_generator":
                 make_synthetic_pseudo_labels(data_dir, n_pts=m_cfg.n_pts)
         if multiproc:
-            from jax.experimental import multihost_utils
-
-            multihost_utils.sync_global_devices("kpvid_synthetic_data")
+            # coordination-service barrier, NOT a device collective: the
+            # process group's first collective execution must not happen
+            # before compiles are synced (see parallel.synced_compile)
+            barrier("kpvid_synthetic_data")
 
     # ------------------------------------------------------------ datasets
     if args.mode == "detector_translator":
@@ -132,6 +139,10 @@ def main():
     if t_cfg.resume:
         latest = latest_checkpoint(ckpt_dir)
         if latest is not None:
+            if multiproc:
+                # orbax's restore runs a cross-process sync; enter it
+                # together (Gloo's first-collective window is ~30s)
+                barrier("kpvid_train_restore")
             restored = restore_checkpoint(latest)
             state, n = merge_restore(state, restored)
             if n == 0:
@@ -182,6 +193,18 @@ def main():
     two_batch = t_cfg.gan_step_mode == "two_batch"
     fused_dg = t_cfg.gan_step_mode == "fused_dg"
     start_step = int(state.step)
+
+    # multi-process: AOT-compile each step program and re-sync all
+    # processes before its first execution, so cross-host compile skew
+    # can't trip the backend's first-collective rendezvous window
+    # (parallel.synced_compile; identity when single-process)
+    train_step = synced_compile(
+        trainer.jitted_train_step_two_batch if two_batch
+        else trainer.jitted_train_step_dg if fused_dg
+        else trainer.jitted_train_step,
+        f"{args.mode}_train",
+    )
+    eval_step = synced_compile(trainer.jitted_eval_step, f"{args.mode}_eval")
 
     # Multi-host data parallelism: each host assembles LOCAL batches of
     # batch_size/process_count examples from its strided index shard;
@@ -234,22 +257,14 @@ def main():
         batch = next_batch()
         if args.mode == "detector_translator":
             if two_batch:
-                state, metrics = trainer.jitted_train_step_two_batch(
-                    state, batch, next_batch()
-                )
-            elif fused_dg:
-                state, metrics = trainer.jitted_train_step_dg(state, batch)
+                state, metrics = train_step(state, batch, next_batch())
             else:
-                state, metrics = trainer.jitted_train_step(state, batch)
+                state, metrics = train_step(state, batch)
         else:
             if two_batch:
-                state, metrics = trainer.jitted_train_step_two_batch(
-                    state, batch, next_batch(), step_rng
-                )
-            elif fused_dg:
-                state, metrics = trainer.jitted_train_step_dg(state, batch, step_rng)
+                state, metrics = train_step(state, batch, next_batch(), step_rng)
             else:
-                state, metrics = trainer.jitted_train_step(state, batch, step_rng)
+                state, metrics = train_step(state, batch, step_rng)
         throughput.update(t_cfg.batch_size)
 
         if step % t_cfg.log_interval == 0:
@@ -284,7 +299,7 @@ def main():
 
         if step % t_cfg.test_interval == 0:
             _run_test_sweep(
-                args.mode, trainer, state, test_ds, config, step, metric_logger, rng,
+                args.mode, eval_step, state, test_ds, config, step, metric_logger, rng,
                 mesh=mesh, multiproc=multiproc,
             )
 
@@ -294,7 +309,7 @@ def main():
     logger.info("done at step %d", n_steps)
 
 
-def _run_test_sweep(mode, trainer, state, test_ds, config, step, metric_logger, rng,
+def _run_test_sweep(mode, eval_step, state, test_ds, config, step, metric_logger, rng,
                     mesh=None, multiproc=False):
     """Average eval metrics over the full test split, weighted by true
     example counts (reference train.py:98-111 sweeps the ragged tail batch
@@ -303,7 +318,9 @@ def _run_test_sweep(mode, trainer, state, test_ds, config, step, metric_logger, 
     the data axis replicates instead (exact, just redundant compute).
     Multi-process: every host draws the SAME deterministic test stream and
     every batch replicates (exact and simple; each host computes the full
-    sweep redundantly — only the primary logs)."""
+    sweep redundantly — only the primary logs). eval_step is the trainer's
+    jitted_eval_step, wrapped by parallel.synced_compile in main() so each
+    new batch shape AOT-compiles + re-syncs before executing."""
     from kpvid_tpu.data import HostDataPipeline
 
     if mesh is not None:
@@ -326,10 +343,10 @@ def _run_test_sweep(mode, trainer, state, test_ds, config, step, metric_logger, 
             else:
                 batch = shard_batch(mesh, batch)
         if mode == "detector_translator":
-            metrics = trainer.jitted_eval_step(state, batch)
+            metrics = eval_step(state, batch)
         else:
             rng, eval_rng = jax.random.split(rng)
-            metrics = trainer.jitted_eval_step(state, batch, eval_rng)
+            metrics = eval_step(state, batch, eval_rng)
         for k, v in metrics.items():
             # per-batch means weighted by true counts -> exact per-example mean
             totals[k] = totals.get(k, 0.0) + float(v) * bs
