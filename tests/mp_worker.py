@@ -109,17 +109,13 @@ def make_iter(ds, mesh):
 
 
 def compile_then_sync(jitted, name, *args):
-    """AOT-compile, then re-sync through the coordination service. The
-    Gloo rendezvous inside the first collective execution has a hardcoded
-    ~30s key-value timeout; on a 1-core host the two processes can finish
-    their multi-minute XLA compiles more than 30s apart, so compile first
-    and barrier (kpvid_tpu.parallel.barrier — NOT a device collective)
-    before executing."""
-    from kpvid_tpu.parallel import barrier
+    """Production synced_compile (AOT-compile each shape -> coordination
+    barrier -> execute; the Gloo first-collective window is ~30s, less
+    than cross-process compile skew on this 1-core host). Using it here
+    gives the wrapper real 2-process coverage."""
+    from kpvid_tpu.parallel import synced_compile
 
-    compiled = jitted.lower(*args).compile()
-    barrier(name)
-    return compiled
+    return synced_compile(jitted, name)
 
 
 def to_np(tree):

@@ -154,6 +154,16 @@ class TestLocalBatchAssembly:
             for gb, want in enumerate(single):
                 assert shards[gb % n_shards][gb // n_shards] == want
 
+    def test_synced_compile_single_process_is_identity(self):
+        """synced_compile must add zero indirection when single-process —
+        the jitted callable is returned unchanged."""
+        import jax
+
+        from kpvid_tpu.parallel import synced_compile
+
+        f = jax.jit(lambda x: x + 1)
+        assert synced_compile(f, "unit") is f
+
     def test_local_batch_size_divisibility(self, monkeypatch):
         import jax
 
