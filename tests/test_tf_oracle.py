@@ -244,51 +244,67 @@ class TestStage1ForwardOracle:
         )
 
 
+def _randomized_img_discr():
+    """(flax ImageDiscriminator, variables, {tf1_name: np.ndarray}) with
+    randomized biases — shared by the PatchGAN forward oracle and the
+    composed train-loss oracle."""
+    from kpvid_tpu.models import ImageDiscriminator
+
+    disc = ImageDiscriminator(dtype=jnp.float32)
+    variables = jax.jit(
+        lambda r: disc.init(r, jnp.zeros((1, SIZE, SIZE, 3), jnp.float32))
+    )(jax.random.PRNGKey(3))
+    counter = [100]
+
+    def rnd_param(leaf):
+        counter[0] += 1
+        if leaf.ndim == 1:
+            r = np.random.default_rng(counter[0])
+            return leaf + jnp.asarray(r.normal(0, 0.1, leaf.shape), jnp.float32)
+        return leaf
+
+    variables = {"params": jax.tree.map(rnd_param, variables["params"])}
+
+    mapping = map_names(variables, "stage1_discr")
+    flat, _ = jax.tree_util.tree_flatten_with_path(variables)
+    w = {}
+    for path, leaf in flat:
+        key = tuple(_key_name(k) for k in path)
+        assert key in mapping, f"unmapped flax leaf {key}"
+        w[mapping[key]] = np.asarray(leaf, np.float32)
+    return disc, variables, w
+
+
+def _tf_patchgan(w, x):
+    """reference networks/__init__.py:141-151 — the explicit-pre-pad +
+    SAME-conv idiom (pad=1 then stride-2 SAME), leaky 0.01, no-bias
+    logit head."""
+
+    def pad_conv(x, scope, stride, use_bias=True):
+        x = tf.pad(x, [[0, 0], [1, 1], [1, 1], [0, 0]])
+        kernel = tf.constant(w[f"{scope}/conv2d/kernel"])
+        y = tf.nn.conv2d(x, kernel, strides=[1, stride, stride, 1], padding="SAME")
+        if use_bias:
+            y = y + tf.constant(w[f"{scope}/conv2d/bias"])
+        return y
+
+    for i in range(6):
+        x = tf.nn.leaky_relu(pad_conv(x, f"img_discr/conv_{i}", 2), 0.01)
+    return pad_conv(x, "img_discr/D_logit", 1, use_bias=False)
+
+
+def _tf_bce(logits, target):
+    labels = tf.fill(tf.shape(logits), float(target))
+    return tf.reduce_mean(
+        tf.nn.sigmoid_cross_entropy_with_logits(labels=labels, logits=logits)
+    )
+
+
 class TestImageDiscriminatorOracle:
     def test_patchgan_matches_tf(self, rng):
-        """reference networks/__init__.py:141-151 — the explicit-pre-pad +
-        SAME-conv idiom (pad=1 then stride-2 SAME) must match exactly."""
-        from kpvid_tpu.models import ImageDiscriminator
-
-        disc = ImageDiscriminator(dtype=jnp.float32)
+        disc, variables, w = _randomized_img_discr()
         im = rng.uniform(-1, 1, (2, SIZE, SIZE, 3)).astype(np.float32)
-        variables = jax.jit(lambda r: disc.init(r, jnp.asarray(im)))(
-            jax.random.PRNGKey(3)
-        )
-        counter = [100]
-
-        def rnd_param(leaf):
-            counter[0] += 1
-            if leaf.ndim == 1:
-                r = np.random.default_rng(counter[0])
-                return leaf + jnp.asarray(r.normal(0, 0.1, leaf.shape), jnp.float32)
-            return leaf
-
-        variables = {"params": jax.tree.map(rnd_param, variables["params"])}
-
-        mapping = map_names(variables, "stage1_discr")
-        flat, _ = jax.tree_util.tree_flatten_with_path(variables)
-        w = {}
-        for path, leaf in flat:
-            key = tuple(_key_name(k) for k in path)
-            assert key in mapping, f"unmapped flax leaf {key}"
-            w[mapping[key]] = np.asarray(leaf, np.float32)
-
-        def pad_conv(x, scope, stride, use_bias=True):
-            x = tf.pad(x, [[0, 0], [1, 1], [1, 1], [0, 0]])
-            kernel = tf.constant(w[f"{scope}/conv2d/kernel"])
-            y = tf.nn.conv2d(
-                x, kernel, strides=[1, stride, stride, 1], padding="SAME"
-            )
-            if use_bias:
-                y = y + tf.constant(w[f"{scope}/conv2d/bias"])
-            return y
-
-        x = tf.constant(im)
-        for i in range(6):
-            x = tf.nn.leaky_relu(pad_conv(x, f"img_discr/conv_{i}", 2), 0.01)
-        want = pad_conv(x, "img_discr/D_logit", 1, use_bias=False).numpy()
-
+        want = _tf_patchgan(w, tf.constant(im)).numpy()
         got = np.asarray(disc.apply(variables, jnp.asarray(im)))
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
@@ -351,6 +367,84 @@ def _tf_vgg_taps(params, rgb):
         if pool:
             x = tf.nn.max_pool(x, [1, 2, 2, 1], [1, 2, 2, 1], "SAME")
     return taps
+
+
+class TestComposedTrainLossOracle:
+    """The COMPLETE stage-1 training objective against a raw-TF
+    composition on the same weights (reference
+    detector_translator_model.py:186-289): forward -> PatchGAN on
+    real/fake -> loss_D = BCE(real,1) + BCE(fake,0); loss_G = VGG
+    perceptual L1-of-features on [0,255]-scaled images (quirk Q7) +
+    BCE(fake,1) — evaluated through the production Stage1Trainer.eval_step
+    (inference-BN mode matching the TF moving-stat graph)."""
+
+    def test_stage1_losses_match_tf_composition(self, model_weights, rng):
+        from kpvid_tpu.configs import Config, ModelConfig, TrainingConfig
+        from kpvid_tpu.losses import synthesize_vgg19_params
+        from kpvid_tpu.train.stage1 import Stage1Trainer
+
+        gen, variables, w = model_weights
+        disc, d_vars, dw = _randomized_img_discr()
+        vgg_params = synthesize_vgg19_params()
+
+        cfg = Config(
+            model=ModelConfig(
+                n_pts=N_PTS, n_action=4, cell_info=(16, 16), vae_dim=8,
+                image_size=SIZE, heatmap_size=SIZE // 4,
+            ),
+            training=TrainingConfig(batch_size=2, compute_dtype="float32"),
+        ).validate()
+        trainer = Stage1Trainer(cfg, vgg_params)
+        state = trainer.init_state(jax.random.PRNGKey(7))
+        state = state.replace(
+            g_params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            d_params=d_vars["params"],
+        )
+
+        im = rng.uniform(-1, 1, (2, SIZE, SIZE, 3)).astype(np.float32)
+        fut = rng.uniform(-1, 1, (2, SIZE, SIZE, 3)).astype(np.float32)
+        got = trainer.eval_step(
+            state, {"image": jnp.asarray(im), "future_image": jnp.asarray(fut)}
+        )
+
+        # ------------------------------------------------------ TF oracle
+        hs = SIZE // 4
+        feats = _tf_encoder(w, tf.constant(im), "image_encoder/encoder")
+        emb = ([tf.constant(im)] + feats)[-2]
+        cur_mu = _tf_pose_encoder(w, tf.constant(im), final_res=SIZE)
+        fut_mu = _tf_pose_encoder(w, tf.constant(fut), final_res=SIZE)
+        joint = tf.concat(
+            [emb, _tf_gaussian_maps(cur_mu, (hs, hs)),
+             _tf_gaussian_maps(fut_mu, (hs, hs))], axis=-1,
+        )
+        crude, mask = _tf_translator(w, joint, final_res=SIZE)
+        fake = tf.constant(im) * mask + crude * (1.0 - mask)
+
+        real_logit = _tf_patchgan(dw, tf.constant(fut))
+        fake_logit = _tf_patchgan(dw, fake)
+        d_real = _tf_bce(real_logit, 1.0)
+        d_fake = _tf_bce(fake_logit, 0.0)
+
+        taps_gt = _tf_vgg_taps(vgg_params, (tf.constant(fut) + 1.0) * 127.5)
+        taps_pred = _tf_vgg_taps(vgg_params, (fake + 1.0) * 127.5)
+        recon = tf.reduce_mean(tf.stack([
+            tf.reduce_mean(tf.abs(g - p)) for g, p in zip(taps_gt, taps_pred)
+        ]))
+        adv = _tf_bce(fake_logit, 1.0)
+
+        np.testing.assert_allclose(float(got["D_real"]), float(d_real), rtol=1e-4)
+        np.testing.assert_allclose(float(got["D_fake"]), float(d_fake), rtol=1e-4)
+        np.testing.assert_allclose(
+            float(got["loss_D"]), float(d_real + d_fake), rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            float(got["reconstruction_metric"]), float(recon), rtol=1e-3
+        )
+        np.testing.assert_allclose(float(got["G_adv_loss"]), float(adv), rtol=1e-4)
+        np.testing.assert_allclose(
+            float(got["loss_G"]), float(recon + adv), rtol=1e-3
+        )
 
 
 # ---------------------------------------------------- stage-2 (motion VAE)
@@ -537,6 +631,121 @@ class TestStage2ForwardOracle:
 
         got = disc.apply(variables, jnp.asarray(seq))
         np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
+
+    def test_stage2_losses_match_tf_composition(self, stage2_weights, rng):
+        """The COMPLETE stage-2 training objective (reference
+        motion_generator_model.py:277-308): encode -> z = mu + sigma*eps
+        (same eps injected both sides) -> decode -> seq_discr on real/pred
+        -> loss_D = BCE(real,1)+BCE(fake,0); loss_G = mean(1000*|pred -
+        real|) + KL(raw-relu-sigma, 1e-8 guard) + BCE(fake,1) — through
+        the production Stage2Trainer.eval_step."""
+        from kpvid_tpu.configs import Config, ModelConfig, TrainingConfig
+        from kpvid_tpu.models import SeqDiscriminator
+        from kpvid_tpu.train.stage2 import Stage2Trainer
+
+        gen, variables, w = stage2_weights
+
+        # a randomized seq-discr transcoded the same way
+        disc = SeqDiscriminator(cell_info=self.CELLS, dtype=jnp.float32)
+        d_vars = jax.jit(
+            lambda r: disc.init(r, jnp.zeros((1, self.N_FUT, 2 * N_PTS)))
+        )(jax.random.PRNGKey(5))
+        counter = [300]
+
+        def rnd(leaf):
+            counter[0] += 1
+            if leaf.ndim == 1:
+                r = np.random.default_rng(counter[0])
+                return leaf + jnp.asarray(r.normal(0, 0.2, leaf.shape), jnp.float32)
+            return leaf
+
+        d_vars = {"params": jax.tree.map(rnd, d_vars["params"])}
+        mapping = map_names(d_vars, "stage2_discr")
+        flat, _ = jax.tree_util.tree_flatten_with_path(d_vars)
+        dw = {}
+        for path, leaf in flat:
+            dw[mapping[tuple(_key_name(k) for k in path)]] = np.asarray(leaf, np.float32)
+
+        cfg = Config(
+            model=ModelConfig(
+                n_pts=N_PTS, n_action=self.N_ACT, cell_info=self.CELLS,
+                vae_dim=self.VAE_DIM, image_size=SIZE, heatmap_size=SIZE // 4,
+                n_future_frames=self.N_FUT,
+            ),
+            training=TrainingConfig(batch_size=3, compute_dtype="float32"),
+        ).validate()
+        trainer = Stage2Trainer(cfg)
+        state = trainer.init_state(jax.random.PRNGKey(11))
+        state = state.replace(g_params=variables["params"], d_params=d_vars["params"])
+
+        b = 3
+        kp = rng.uniform(-1, 1, (b, N_PTS, 2)).astype(np.float32)
+        real = rng.uniform(-1, 1, (b, self.N_FUT, N_PTS, 2)).astype(np.float32)
+        act = np.eye(self.N_ACT, dtype=np.float32)[[2, 0, 1]]
+        eval_rng = jax.random.PRNGKey(42)
+        got = trainer.eval_step(
+            state,
+            {"keypoints": jnp.asarray(kp), "real_seq": jnp.asarray(real),
+             "action_code": jnp.asarray(act)},
+            eval_rng,
+        )
+        # the exact eps eval_step draws (same key, same shape)
+        noise = np.asarray(
+            jax.random.normal(eval_rng, (b, self.VAE_DIM), jnp.float32)
+        )
+
+        # ------------------------------------------------------ TF oracle
+        f_pt = kp.reshape(b, -1)
+        real_flat = real.reshape(b, self.N_FUT, -1)
+        outs = _tf_lstm_stack(
+            w, "vae_encoder", True, tf.constant(real_flat), len(self.CELLS)
+        )
+        logit = _tf_fc_relu(
+            w, "vae_encoder",
+            tf.concat([outs[:, -1, :], tf.constant(f_pt), tf.constant(act)], axis=-1),
+        )
+        mu, sd = logit[:, : self.VAE_DIM], logit[:, self.VAE_DIM:]
+        z = mu + sd * tf.constant(noise)
+        inp0 = _tf_fc_relu(
+            w, "vae_decoder",
+            tf.concat([z, tf.constant(f_pt), tf.constant(act)], axis=-1),
+        )
+        xs = tf.concat(
+            [inp0[:, None, :], tf.zeros((b, self.N_FUT - 1, inp0.shape[-1]))], axis=1
+        )
+        dec = _tf_lstm_stack(w, "vae_decoder", False, xs, len(self.CELLS))
+        W = tf.constant(w["vae_decoder/fully_connected/W"])
+        bb = tf.constant(w["vae_decoder/fully_connected/b"])
+        pred = tf.stack(
+            [tf.tanh(tf.matmul(dec[:, t, :], W) + bb) for t in range(self.N_FUT)],
+            axis=1,
+        )
+
+        def discr_logit(seq):
+            o = _tf_lstm_stack(dw, "seq_discr", True, seq, len(self.CELLS))
+            return _tf_fc_relu(dw, "seq_discr", o[:, -1, :])
+
+        real_logit = discr_logit(tf.constant(real_flat))
+        fake_logit = discr_logit(pred)
+        d_real = _tf_bce(real_logit, 1.0)
+        d_fake = _tf_bce(fake_logit, 0.0)
+        recon = tf.reduce_mean(1000.0 * tf.abs(pred - tf.constant(real_flat)))
+        var = tf.square(sd)
+        kl = tf.reduce_mean(
+            0.5 * tf.reduce_sum(
+                tf.square(mu) + var - tf.math.log(1e-8 + var) - 1.0, axis=1
+            )
+        )
+        adv = _tf_bce(fake_logit, 1.0)
+
+        np.testing.assert_allclose(float(got["D_real"]), float(d_real), rtol=1e-4)
+        np.testing.assert_allclose(float(got["D_fake"]), float(d_fake), rtol=1e-4)
+        np.testing.assert_allclose(float(got["recon_loss"]), float(recon), rtol=1e-4)
+        np.testing.assert_allclose(float(got["kl_loss"]), float(kl), rtol=1e-4)
+        np.testing.assert_allclose(float(got["G_adv_loss"]), float(adv), rtol=1e-4)
+        np.testing.assert_allclose(
+            float(got["loss_G"]), float(recon + kl + adv), rtol=1e-4
+        )
 
 
 # ------------------------------------------- composed final serving graph
