@@ -88,6 +88,7 @@ class FinalGenerator:
         action_code: jax.Array,
         rng: jax.Array,
         split_first_conv: bool = True,
+        fuse_heads: bool = True,
     ) -> dict:
         """im: [B, H, W, 3] in [-1, 1]; action_code: [B, A] one-hot.
 
@@ -101,6 +102,12 @@ class FinalGenerator:
         frames of a sample, so their contraction runs once per sample and
         broadcasts (exact by linearity; saves ~(128+K)/(128+2K) of that
         conv plus the B*T embedding materialization).
+
+        fuse_heads: serving fast path — the translator's crude (3ch) and
+        mask (1ch) output convs become ONE 4-channel conv by concatenating
+        their kernels/biases along the output axis (exact: each output
+        channel's contraction is independent), so the full-resolution B*T
+        feature map is read from HBM once instead of twice.
         """
         b = im.shape[0]
         # 1) current keypoints from the frozen pose encoder
@@ -121,9 +128,22 @@ class FinalGenerator:
             if split_first_conv
             else None
         )
+        fused_heads = None
+        if fuse_heads:
+            tp = stage1_vars["params"]["translator"]
+            fused_heads = (
+                jnp.concatenate(
+                    [tp["crude"]["Conv_0"]["kernel"], tp["mask"]["Conv_0"]["kernel"]],
+                    axis=-1,
+                ),
+                jnp.concatenate(
+                    [tp["crude"]["Conv_0"]["bias"], tp["mask"]["Conv_0"]["bias"]], axis=0
+                ),
+            )
         out = self.stage1.apply(
             stage1_vars, im, current_mu, future_mu_seq,
             method=self.stage1.generate, precomputed_first=precomputed_first,
+            fused_heads=fused_heads,
         )
         return {
             "im": im,
@@ -173,7 +193,7 @@ class FinalGenerator:
 
     @functools.cached_property
     def jitted_generate(self):
-        return jax.jit(self.generate, static_argnames=("split_first_conv",))
+        return jax.jit(self.generate, static_argnames=("split_first_conv", "fuse_heads"))
 
     def render_point_images(self, mu, colors, size: int | None = None) -> jax.Array:
         """Colorized keypoint visualization at full resolution (reference

@@ -149,12 +149,26 @@ class Translator(nn.Module):
     upsample_mode: str = "tf1"
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool, precomputed_first: jax.Array | None = None):
+    def __call__(
+        self,
+        x: jax.Array,
+        train: bool,
+        precomputed_first: jax.Array | None = None,
+        fused_heads: tuple[jax.Array, jax.Array] | None = None,
+    ):
         """`precomputed_first`: pre-activation output of the FIRST conv
         (oct0a), computed externally — the serving fast path splits that
         conv by input channel so the frame-invariant part runs once per
         sample instead of once per frame (see Stage1Generator.generate /
-        eval/final.py). Exact by linearity of convolution."""
+        eval/final.py). Exact by linearity of convolution.
+
+        `fused_heads`: serving fast path for the OUTPUT heads — a
+        ([3,3,C,4] kernel, [4] bias) pair made by concatenating the crude
+        and mask convs' parameters along the output-channel axis (built by
+        eval/final.py from this module's own params). One conv then reads
+        the full-resolution B*T feature map ONCE instead of twice; exact,
+        because each output channel's contraction is independent. Channels
+        0..2 are crude, channel 3 is the mask logit."""
         final_res = self.final_res or x.shape[1] * 4
         f = self.filters
         octave = 0
@@ -175,9 +189,18 @@ class Translator(nn.Module):
                 pending_up = False
             x = conv_bn_relu(x, f, 3, 1, train, self.dtype, f"oct{octave}b")
             if x.shape[1] == final_res:
-                crude = Conv(3, 3, 1, dtype=self.dtype, name="crude")(x)
-                mask = Conv(1, 3, 1, dtype=self.dtype, name="mask")(x)
-                mask = jax.nn.sigmoid(mask.astype(jnp.float32))
+                if fused_heads is not None:
+                    k, b = fused_heads
+                    y = jax.lax.conv_general_dilated(
+                        x.astype(self.dtype), k.astype(self.dtype),
+                        window_strides=(1, 1), padding="SAME",
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    ) + b.astype(self.dtype)
+                    crude, mask_logit = y[..., :3], y[..., 3:4]
+                else:
+                    crude = Conv(3, 3, 1, dtype=self.dtype, name="crude")(x)
+                    mask_logit = Conv(1, 3, 1, dtype=self.dtype, name="mask")(x)
+                mask = jax.nn.sigmoid(mask_logit.astype(jnp.float32))
                 return crude.astype(jnp.float32), mask
             x = conv_bn_relu(x, f, 3, 1, train, self.dtype, f"oct{octave}c")
             x = conv_bn_relu(x, f, 3, 1, train, self.dtype, f"oct{octave}d")
@@ -280,6 +303,7 @@ class Stage1Generator(nn.Module):
         future_mu_seq: jax.Array,
         train: bool = False,
         precomputed_first: jax.Array | None = None,
+        fused_heads: tuple[jax.Array, jax.Array] | None = None,
     ) -> dict:
         """Fused generation: translate one source frame to T future frames.
 
@@ -290,7 +314,8 @@ class Stage1Generator(nn.Module):
         translator conv's output for all B*T frames) is supplied, the
         embedding/concat path is skipped entirely — the serving fast path
         in eval/final.py builds it with the frame-invariant input channels
-        convolved once per sample.
+        convolved once per sample. `fused_heads` is forwarded to the
+        Translator (single-conv crude+mask output heads; see there).
         """
         b, t = future_mu_seq.shape[0], future_mu_seq.shape[1]
         hs = self.heatmap_size
@@ -308,7 +333,9 @@ class Stage1Generator(nn.Module):
             )
         else:
             joint = precomputed_first  # only carries the spatial shape
-        crude, mask = self.translator(joint, train, precomputed_first=precomputed_first)
+        crude, mask = self.translator(
+            joint, train, precomputed_first=precomputed_first, fused_heads=fused_heads
+        )
         im_t = jnp.repeat(im, t, axis=0)
         final = im_t * mask + crude * (1.0 - mask)
         final = jnp.clip(final, -1.0, 1.0)

@@ -85,3 +85,19 @@ def test_split_first_conv_exact(final, rng):
     np.testing.assert_allclose(
         np.asarray(fast["mask"]), np.asarray(slow["mask"]), rtol=1e-4, atol=1e-5
     )
+
+
+def test_fused_heads_exact(final, rng):
+    """The single-conv crude+mask head (kernels concatenated along the
+    output axis) matches the two separate head convs bit-for-bit: each
+    output channel's contraction is independent of the others."""
+    gen, s1_vars, s2_vars = final
+    im = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)), jnp.float32)
+    act = jax.nn.one_hot(jnp.asarray([2, 1]), 5)
+    key = jax.random.PRNGKey(13)
+    fused = gen.generate(s1_vars, s2_vars["params"], im, act, key, fuse_heads=True)
+    plain = gen.generate(s1_vars, s2_vars["params"], im, act, key, fuse_heads=False)
+    for name in ("pred_im_seq", "pred_im_crude", "mask"):
+        np.testing.assert_allclose(
+            np.asarray(fused[name]), np.asarray(plain[name]), rtol=1e-6, atol=1e-7
+        )
