@@ -30,6 +30,13 @@ def main():
                         help="images per call (x32 frames each); 32 is the "
                              "throughput sweet spot — see docs/PERF.md "
                              "batch sweep")
+    parser.add_argument("--conv-backend", default="xla",
+                        choices=["xla", "pallas"],
+                        help="translator conv engine. 'pallas' (fused "
+                             "strip-matmul kernel) wins per-layer but "
+                             "LOSES end-to-end: XLA<->Mosaic layout "
+                             "copies at the region boundaries cost more "
+                             "than the kernels save (docs/PERF.md)")
     args = parser.parse_args()
 
     import jax
@@ -42,7 +49,7 @@ def main():
     from kpvid_tpu.eval import FinalGenerator
 
     config = Config()  # production scale: 128^2, K=40, LSTM 1024x2, T=32
-    final = FinalGenerator(config)
+    final = FinalGenerator(config, conv_backend=args.conv_backend)
     m = config.model
 
     n_devices = len(jax.devices())

@@ -28,14 +28,28 @@ from ..ops import colorize_point_maps, render_gaussian_maps
 
 
 class FinalGenerator:
-    def __init__(self, config: Config, upsample_mode: str = "fused"):
+    def __init__(
+        self,
+        config: Config,
+        upsample_mode: str = "fused",
+        conv_backend: str = "xla",
+    ):
         """upsample_mode defaults to the serving fast path: each 2x
         upsample folds into the next conv as one input-dilated 5x5 conv —
         exact, and ~2.5x faster than materializing the upsample at the
         serving workload where the translator runs B*T frames
         (docs/PERF.md round-2 profile). All modes share parameters and
         checkpoints; 'tf1' is the reference-faithful interleave form
-        (used by the composed TF oracle in tests/test_tf_oracle.py)."""
+        (used by the composed TF oracle in tests/test_tf_oracle.py).
+
+        conv_backend='pallas' routes the translator's MXU-deep plain 3x3
+        conv+BN+relu blocks through the fused Pallas strip-matmul kernel
+        (ops/pallas_conv.py). Same params/checkpoints; the difference vs
+        'xla' is float reassociation only. The kernel wins per-layer
+        (x1.14-1.27) but MEASURES NET-NEGATIVE end-to-end at serving
+        shapes: XLA<->Mosaic layout-conversion copies at the region
+        boundaries cost more than the kernels save (docs/PERF.md
+        "Pallas kernels") — so 'xla' stays the default."""
         self.config = config
         m = config.model
         self.dtype = (
@@ -51,6 +65,7 @@ class FinalGenerator:
             heatmap_inv_std=m.heatmap_inv_std,
             dtype=self.dtype,
             upsample_mode=upsample_mode,
+            conv_backend=conv_backend,
         )
         self.stage2 = MotionGenerator(
             n_pts=m.n_pts,

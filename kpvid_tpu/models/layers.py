@@ -155,11 +155,50 @@ def conv_bn_relu(
     name: str,
     pre_up2: bool = False,
     skip: jax.Array | None = None,
+    mdl: nn.Module | None = None,
+    backend: str = "xla",
 ) -> jax.Array:
-    x = Conv(features, kernel, stride, dtype=dtype, name=f"{name}_conv")(
-        x, pre_up2=pre_up2, skip=skip
-    )
-    x = BatchNorm(dtype=dtype, name=f"{name}_bn")(x, train)
+    """conv + BN + relu. `backend='pallas'` (serving only; requires `mdl`,
+    the calling module, for parameter access) routes eligible layers —
+    inference mode, plain 3x3 stride-1, MXU-deep channels — through the
+    fused strip-matmul kernel (ops/pallas_conv.py): the conv, the folded
+    BN-inference affine, and the relu run as ONE Pallas op instead of
+    XLA's conv + fused epilogue. Parameters, init, and checkpoints are
+    identical in both backends — the Conv/BatchNorm modules below own the
+    params either way; the Pallas path merely reads them via
+    `mdl.variables` and computes differently."""
+    conv = Conv(features, kernel, stride, dtype=dtype, name=f"{name}_conv")
+    bn = BatchNorm(dtype=dtype, name=f"{name}_bn")
+    if (
+        backend == "pallas"
+        and mdl is not None
+        and not train
+        and not pre_up2
+        and skip is None
+        and kernel == 3
+        and stride == 1
+        and not mdl.is_initializing()
+    ):
+        from ..ops.pallas_conv import conv3x3_affine, conv3x3_wins, fold_bn
+
+        if conv3x3_wins(x.shape, features):
+            v = mdl.variables
+            cp = v["params"][f"{name}_conv"]["Conv_0"]
+            bnp = v["params"][f"{name}_bn"]["BatchNorm_0"]
+            bns = v["batch_stats"][f"{name}_bn"]["BatchNorm_0"]
+            scale, shift = fold_bn(
+                cp["bias"], bnp["scale"], bnp["bias"], bns["mean"], bns["var"]
+            )
+            return conv3x3_affine(
+                x.astype(dtype),
+                cp["kernel"].astype(dtype),
+                scale,
+                shift,
+                relu=True,
+                interpret=jax.default_backend() != "tpu",
+            )
+    x = conv(x, pre_up2=pre_up2, skip=skip)
+    x = bn(x, train)
     return nn.relu(x)
 
 

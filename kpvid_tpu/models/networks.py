@@ -147,6 +147,12 @@ class Translator(nn.Module):
     # this op runs B*T times; docs/PERF.md round-2 profile). Values agree
     # to 1 bf16 ulp; parameter-free, so checkpoints are interchangeable.
     upsample_mode: str = "tf1"
+    # 'xla' or 'pallas': inference-only conv engine for the plain 3x3
+    # blocks. 'pallas' routes MXU-deep layers (C>=128 both sides) through
+    # the fused strip-matmul kernel (ops/pallas_conv.py) — same params and
+    # checkpoints, reassociation-level numeric difference. Training and
+    # init always take the XLA path regardless.
+    conv_backend: str = "xla"
 
     @nn.compact
     def __call__(
@@ -184,10 +190,13 @@ class Translator(nn.Module):
             else:
                 x = conv_bn_relu(
                     x, f, 3, 1, train, self.dtype, f"oct{octave}a",
-                    pre_up2=pending_up,
+                    pre_up2=pending_up, mdl=self, backend=self.conv_backend,
                 )
                 pending_up = False
-            x = conv_bn_relu(x, f, 3, 1, train, self.dtype, f"oct{octave}b")
+            x = conv_bn_relu(
+                x, f, 3, 1, train, self.dtype, f"oct{octave}b",
+                mdl=self, backend=self.conv_backend,
+            )
             if x.shape[1] == final_res:
                 if fused_heads is not None:
                     k, b = fused_heads
@@ -202,8 +211,14 @@ class Translator(nn.Module):
                     mask_logit = Conv(1, 3, 1, dtype=self.dtype, name="mask")(x)
                 mask = jax.nn.sigmoid(mask_logit.astype(jnp.float32))
                 return crude.astype(jnp.float32), mask
-            x = conv_bn_relu(x, f, 3, 1, train, self.dtype, f"oct{octave}c")
-            x = conv_bn_relu(x, f, 3, 1, train, self.dtype, f"oct{octave}d")
+            x = conv_bn_relu(
+                x, f, 3, 1, train, self.dtype, f"oct{octave}c",
+                mdl=self, backend=self.conv_backend,
+            )
+            x = conv_bn_relu(
+                x, f, 3, 1, train, self.dtype, f"oct{octave}d",
+                mdl=self, backend=self.conv_backend,
+            )
             if self.upsample_mode == "fused":
                 # the 2x upsample folds into the NEXT octave's first conv
                 # (one input-dilated 5x5 conv; exact — ops/resize.up2_conv3)
@@ -248,6 +263,7 @@ class Stage1Generator(nn.Module):
     heatmap_inv_std: float = 14.3
     dtype: Dtype = jnp.float32
     upsample_mode: str = "tf1"  # serving passes 'matmul' (see Translator)
+    conv_backend: str = "xla"  # serving may pass 'pallas' (see Translator)
 
     def setup(self):
         self.image_encoder = ImageEncoder(dtype=self.dtype)
@@ -259,7 +275,8 @@ class Stage1Generator(nn.Module):
             self.n_pts, dtype=self.dtype, upsample_mode=pe_mode
         )
         self.translator = Translator(
-            dtype=self.dtype, upsample_mode=self.upsample_mode
+            dtype=self.dtype, upsample_mode=self.upsample_mode,
+            conv_backend=self.conv_backend,
         )
 
     def __call__(self, im: jax.Array, future_im: jax.Array, train: bool) -> dict:

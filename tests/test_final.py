@@ -87,6 +87,30 @@ def test_split_first_conv_exact(final, rng):
     )
 
 
+def test_conv_backend_pallas_matches_xla(final, rng):
+    """conv_backend='pallas' (fused strip-matmul conv+BN+relu for the
+    translator's MXU-deep 3x3 blocks, ops/pallas_conv.py) reproduces the
+    XLA path on the SAME variables — params and checkpoints are shared;
+    only float reassociation differs (f32 config -> tight). At this
+    config the 8^2x256 and 16^2x128 octaves take the Pallas path and the
+    32^2x64 octave stays on XLA, exercising the eligibility gate."""
+    gen, s1_vars, s2_vars = final
+    gen_p = FinalGenerator(gen.config, conv_backend="pallas")
+    im = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)), jnp.float32)
+    act = jax.nn.one_hot(jnp.asarray([1, 3]), 5)
+    key = jax.random.PRNGKey(17)
+    a = gen.generate(s1_vars, s2_vars["params"], im, act, key)
+    b = gen_p.generate(s1_vars, s2_vars["params"], im, act, key)
+    # keypoints are upstream of the translator: identical
+    np.testing.assert_array_equal(
+        np.asarray(a["future_points"]), np.asarray(b["future_points"])
+    )
+    for name in ("pred_im_seq", "pred_im_crude", "mask"):
+        np.testing.assert_allclose(
+            np.asarray(a[name]), np.asarray(b[name]), rtol=1e-4, atol=1e-5
+        )
+
+
 def test_fused_heads_exact(final, rng):
     """The single-conv crude+mask head (kernels concatenated along the
     output axis) matches the two separate head convs bit-for-bit: each

@@ -2,9 +2,11 @@
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from kpvid_tpu.ops import heatmaps_to_keypoints, render_gaussian_maps
+from kpvid_tpu.ops.pallas_conv import conv3x3_affine, fold_bn
 from kpvid_tpu.ops.pallas_kernels import gaussian_render_pallas, pose_head_pallas
 
 
@@ -45,3 +47,54 @@ def test_roundtrip_pallas(rng):
     maps = gaussian_render_pallas(mu, 64, 64, interpret=True)
     kp = np.asarray(pose_head_pallas(maps * 2000.0, interpret=True))
     np.testing.assert_allclose(kp, np.asarray(mu), atol=0.02)
+
+
+def _conv3x3_ref(x, k, scale, shift, relu=True):
+    y = jax.lax.conv_general_dilated(
+        x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    y = y * scale + shift
+    return jnp.maximum(y, 0) if relu else y
+
+
+def test_conv3x3_affine_matches_xla(rng):
+    """SAME 3x3 conv + affine + relu vs lax.conv at f32: the folded
+    dx-in-contraction / dy-in-output formulation must reproduce the conv
+    including all four zero-padded edges."""
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 8)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(3, 3, 8, 8)) * 0.2, jnp.float32)
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, (8,)), jnp.float32)
+    shift = jnp.asarray(rng.normal(size=(8,)) * 0.1, jnp.float32)
+    got = np.asarray(conv3x3_affine(x, k, scale, shift, interpret=True))
+    want = np.asarray(_conv3x3_ref(x, k, scale, shift))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_conv3x3_affine_strips_and_rect(rng):
+    """Multi-strip grid (strip < H) and a rectangular Cin != Cout layer
+    agree with the single-strip full conv; relu=False path covered."""
+    x = jnp.asarray(rng.normal(size=(1, 16, 8, 4)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(3, 3, 4, 12)) * 0.2, jnp.float32)
+    one = jnp.ones((12,), jnp.float32)
+    zero = jnp.zeros((12,), jnp.float32)
+    want = np.asarray(_conv3x3_ref(x, k, one, zero, relu=False))
+    for strip in (4, 8, 16):
+        got = np.asarray(
+            conv3x3_affine(x, k, one, zero, relu=False, strip=strip, interpret=True)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_fold_bn_matches_bn_inference(rng):
+    """fold_bn's (scale, shift) reproduce inference BatchNorm (eps 1e-5)
+    applied to conv(x) + bias."""
+    y = jnp.asarray(rng.normal(size=(2, 4, 4, 6)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(6,)), jnp.float32)
+    gamma = jnp.asarray(rng.uniform(0.5, 1.5, (6,)), jnp.float32)
+    beta = jnp.asarray(rng.normal(size=(6,)), jnp.float32)
+    mean = jnp.asarray(rng.normal(size=(6,)), jnp.float32)
+    var = jnp.asarray(rng.uniform(0.1, 2.0, (6,)), jnp.float32)
+    scale, shift = fold_bn(bias, gamma, beta, mean, var)
+    want = (y + bias - mean) * gamma / jnp.sqrt(var + 1e-5) + beta
+    got = y * scale + shift
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
