@@ -6,8 +6,14 @@ import jax
 import jax.numpy as jnp
 
 from kpvid_tpu.ops import heatmaps_to_keypoints, render_gaussian_maps
-from kpvid_tpu.ops.pallas_conv import conv3x3_affine, fold_bn
+from kpvid_tpu.ops.pallas_conv import (
+    conv3x3_affine,
+    conv3x3_affine_packed,
+    fold_bn,
+    up2_conv3_affine,
+)
 from kpvid_tpu.ops.pallas_kernels import gaussian_render_pallas, pose_head_pallas
+from kpvid_tpu.ops.resize import up2_conv3
 
 
 def test_pose_head_matches_jnp(rng):
@@ -81,6 +87,62 @@ def test_conv3x3_affine_strips_and_rect(rng):
     for strip in (4, 8, 16):
         got = np.asarray(
             conv3x3_affine(x, k, one, zero, relu=False, strip=strip, interpret=True)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_conv3x3_affine_packed_matches_xla(rng):
+    """The W-packed variant (free [H,W,C]->[H,W/2,2C] reshape + sparse
+    pack_w_kernel remap) computes the identical op, edges included."""
+    x = jnp.asarray(rng.normal(size=(2, 8, 16, 4)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(3, 3, 4, 6)) * 0.2, jnp.float32)
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, (6,)), jnp.float32)
+    shift = jnp.asarray(rng.normal(size=(6,)) * 0.1, jnp.float32)
+    got = np.asarray(conv3x3_affine_packed(x, k, scale, shift, interpret=True))
+    want = np.asarray(_conv3x3_ref(x, k, scale, shift))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def _up2_ref(x, k, scale, shift, relu):
+    y = up2_conv3(x, k) * scale + shift
+    return jnp.maximum(y, 0) if relu else y
+
+
+def test_up2_conv3_affine_matches_two_step(rng):
+    """One-kernel fused upsample2x+conv3x3+affine vs the two-step XLA
+    reference (ops/resize.up2_conv3), all phase/border splices exact, in
+    both relu settings and both output layouts."""
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 4)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(3, 3, 4, 6)) * 0.2, jnp.float32)
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, (6,)), jnp.float32)
+    shift = jnp.asarray(rng.normal(size=(6,)) * 0.1, jnp.float32)
+    for relu in (True, False):
+        want = np.asarray(_up2_ref(x, k, scale, shift, relu))
+        got = np.asarray(
+            up2_conv3_affine(x, k, scale, shift, relu=relu, interpret=True)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+        packed = np.asarray(
+            up2_conv3_affine(
+                x, k, scale, shift, relu=relu, pack_w_out=True, interpret=True
+            )
+        )
+        # packed col w2 holds [out[2*w2] | out[2*w2+1]] on the channel axis
+        unpacked = packed.reshape(2, 16, 16, 6)
+        np.testing.assert_allclose(unpacked, want, rtol=1e-4, atol=1e-5)
+
+
+def test_up2_conv3_affine_multi_strip(rng):
+    """strip < H exercises the cross-strip border splices (first/last
+    grid steps own the exact border rows)."""
+    x = jnp.asarray(rng.normal(size=(1, 16, 8, 4)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(3, 3, 4, 4)) * 0.2, jnp.float32)
+    one = jnp.ones((4,), jnp.float32)
+    zero = jnp.zeros((4,), jnp.float32)
+    want = np.asarray(_up2_ref(x, k, one, zero, True))
+    for strip in (4, 8, 16):
+        got = np.asarray(
+            up2_conv3_affine(x, k, one, zero, strip=strip, interpret=True)
         )
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 

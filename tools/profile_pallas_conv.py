@@ -23,7 +23,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import jax
 import jax.numpy as jnp
 
-from kpvid_tpu.ops.pallas_conv import conv3x3_affine
+from kpvid_tpu.ops.pallas_conv import conv3x3_affine, conv3x3_affine_packed
 from kpvid_tpu.utils.cache import enable_compilation_cache
 
 V5E_PEAK_TFLOPS = 197.0
@@ -85,6 +85,16 @@ def main():
             f"x{dt_x/dt_p:4.2f} | rel-err {err:.2e}",
             flush=True,
         )
+        if cin < 128:  # W-packed variant (free reshape to 2C lanes)
+            dt_w = timeit(conv3x3_affine_packed, (x, k, scale, shift))
+            c = conv3x3_affine_packed(x, k, scale, shift).astype(jnp.float32)
+            errw = float(jnp.max(jnp.abs(a - c)) / (jnp.max(jnp.abs(a)) + 1e-9))
+            print(
+                f"{name}: W-packed pallas {dt_w*1e3:7.2f} ms "
+                f"({flops/dt_w/1e12:5.1f} TF/s) | x{dt_x/dt_w:4.2f} vs XLA | "
+                f"rel-err {errw:.2e}",
+                flush=True,
+            )
 
 
 if __name__ == "__main__":
