@@ -31,7 +31,7 @@ def main():
                              "throughput sweet spot — see docs/PERF.md "
                              "batch sweep")
     parser.add_argument("--conv-backend", default="xla",
-                        choices=["xla", "pallas"],
+                        choices=["xla", "pallas", "pallas_chain"],
                         help="translator conv engine. 'pallas' (fused "
                              "strip-matmul kernel) wins per-layer but "
                              "LOSES end-to-end: XLA<->Mosaic layout "

@@ -44,12 +44,13 @@ class FinalGenerator:
 
         conv_backend='pallas' routes the translator's MXU-deep plain 3x3
         conv+BN+relu blocks through the fused Pallas strip-matmul kernel
-        (ops/pallas_conv.py). Same params/checkpoints; the difference vs
-        'xla' is float reassociation only. The kernel wins per-layer
-        (x1.14-1.27) but MEASURES NET-NEGATIVE end-to-end at serving
-        shapes: XLA<->Mosaic layout-conversion copies at the region
-        boundaries cost more than the kernels save (docs/PERF.md
-        "Pallas kernels") — so 'xla' stays the default."""
+        (ops/pallas_conv.py); 'pallas_chain' keeps the ENTIRE decode in
+        Mosaic (ops/pallas_chain.py — up2-fold kernels, W-packed final
+        octave, packed fused heads). Same params/checkpoints in all
+        backends; the difference vs 'xla' is float reassociation only.
+        Both MEASURE NET-NEGATIVE end-to-end: the composed XLA decode
+        already runs at ~90% of v5e bf16 peak, so there is no kernel
+        headroom (docs/PERF.md "Pallas kernels") — 'xla' is default."""
         self.config = config
         m = config.model
         self.dtype = (

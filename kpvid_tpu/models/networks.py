@@ -147,11 +147,14 @@ class Translator(nn.Module):
     # this op runs B*T times; docs/PERF.md round-2 profile). Values agree
     # to 1 bf16 ulp; parameter-free, so checkpoints are interchangeable.
     upsample_mode: str = "tf1"
-    # 'xla' or 'pallas': inference-only conv engine for the plain 3x3
-    # blocks. 'pallas' routes MXU-deep layers (C>=128 both sides) through
-    # the fused strip-matmul kernel (ops/pallas_conv.py) — same params and
-    # checkpoints, reassociation-level numeric difference. Training and
-    # init always take the XLA path regardless.
+    # 'xla', 'pallas', or 'pallas_chain': inference-only conv engine for
+    # the plain 3x3 blocks. 'pallas' routes MXU-deep layers (C>=128 both
+    # sides) through the fused strip-matmul kernel (ops/pallas_conv.py);
+    # 'pallas_chain' keeps the ENTIRE decode in Mosaic (ops/pallas_chain,
+    # requires the serving fast paths: precomputed_first + fused_heads)
+    # so the feature maps never cross an XLA<->Mosaic layout boundary.
+    # Same params and checkpoints in all backends, reassociation-level
+    # numeric difference. Training and init always take the XLA path.
     conv_backend: str = "xla"
 
     @nn.compact
@@ -176,6 +179,23 @@ class Translator(nn.Module):
         because each output channel's contraction is independent. Channels
         0..2 are crude, channel 3 is the mask logit."""
         final_res = self.final_res or x.shape[1] * 4
+        if (
+            self.conv_backend == "pallas_chain"
+            and not train
+            and not self.is_initializing()
+            and precomputed_first is not None
+            and fused_heads is not None
+        ):
+            from ..ops.pallas_chain import chain_eligible, translator_chain
+
+            if chain_eligible(precomputed_first.shape, final_res):
+                v = self.variables
+                return translator_chain(
+                    v["params"], v["batch_stats"],
+                    precomputed_first.astype(self.dtype),
+                    fused_heads[0], fused_heads[1], final_res,
+                    interpret=jax.default_backend() != "tpu",
+                )
         f = self.filters
         octave = 0
         pending_up = False  # 'fused' mode: upsample deferred into next conv

@@ -35,14 +35,16 @@ checkpoint layout and the training path are untouched.
 MEASURED (v5e, 2026-08-18, tools/profile_pallas_conv.py @ 1024 frames):
 x1.14 over XLA at 32^2 C256->256 (146.6 TF/s), x1.27 at 64^2 C128->128
 (138.6 TF/s), x0.59 at 128^2 C64->64 (C=64 half-fills the 128-lane
-registers). END-TO-END, however, the backend is net-NEGATIVE
-(tools/profile_pallas_e2e.py: 10,693 -> 8,396 frames/s with both
-eligible octaves): XLA assigns conv-friendly layouts
-({3,0,2,1:T(8,128)}) to the GB-scale activations while a Mosaic custom
-call requires default layouts, so every XLA-conv <-> Pallas boundary
-materializes a layout-conversion copy that costs more than the kernel
-saves. Verdict in docs/PERF.md "Pallas kernels": available via
-conv_backend='pallas', default stays 'xla'.
+registers). Those isolated wins are ARTIFACTS, however: an isolated XLA
+conv pays an input layout conversion that vanishes in the composed
+graph. The composed-prefix profile (tools/profile_pallas_chain.py)
+shows XLA running the full serving decode at ~178 TF/s effective (~90%
+of v5e bf16 peak) — in composed context this kernel only ties XLA at
+its best shape and loses elsewhere, and the full-Mosaic chain
+(ops/pallas_chain.py, zero interior boundaries) still loses 140.5 ms
+vs 76.7 ms. Verdict in docs/PERF.md "Pallas kernels": available via
+conv_backend='pallas' / 'pallas_chain', default stays 'xla'; the
+serving decode has no kernel headroom.
 """
 
 from __future__ import annotations

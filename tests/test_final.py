@@ -111,6 +111,29 @@ def test_conv_backend_pallas_matches_xla(final, rng):
         )
 
 
+def test_conv_backend_pallas_chain_matches_xla(final, rng):
+    """conv_backend='pallas_chain' (the whole decode — every conv, both
+    up2 folds, the packed final octave, and the fused heads — as one
+    Mosaic region, ops/pallas_chain.py) reproduces the XLA path on the
+    SAME variables. Exercises the chain's oct0a affine, the border
+    splices of both up2-fold kernels, the W-packed final octave, and the
+    packed-head unpack."""
+    gen, s1_vars, s2_vars = final
+    gen_c = FinalGenerator(gen.config, conv_backend="pallas_chain")
+    im = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)), jnp.float32)
+    act = jax.nn.one_hot(jnp.asarray([1, 3]), 5)
+    key = jax.random.PRNGKey(17)
+    a = gen.generate(s1_vars, s2_vars["params"], im, act, key)
+    b = gen_c.generate(s1_vars, s2_vars["params"], im, act, key)
+    np.testing.assert_array_equal(
+        np.asarray(a["future_points"]), np.asarray(b["future_points"])
+    )
+    for name in ("pred_im_seq", "pred_im_crude", "mask"):
+        np.testing.assert_allclose(
+            np.asarray(a[name]), np.asarray(b[name]), rtol=1e-4, atol=1e-5
+        )
+
+
 def test_fused_heads_exact(final, rng):
     """The single-conv crude+mask head (kernels concatenated along the
     output axis) matches the two separate head convs bit-for-bit: each
