@@ -155,7 +155,7 @@ def main():
         data_dir, "test",
         n_pts=m_cfg.n_pts, n_action=m_cfg.n_action,
         sequence_len=config.data.sequence_len, image_size=m_cfg.image_size,
-        with_image_seq=True,
+        with_image_seq=True, native_ops=config.data.native_ops,
     )
     # multi-host: batch-aligned shard — this process produces EXACTLY the
     # batches a single-host run would see at global batch indices

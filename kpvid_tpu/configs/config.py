@@ -139,6 +139,12 @@ class DataConfig:
     # numerics (caches post-decode RGB pixels). Full Penn Action decoded is
     # ~32 GB — size to available host RAM. See data/cache.py.
     decode_cache_mb: float = 0.0
+    # C++ geometry backend for the per-frame chain (rotate / bicubic
+    # resize / to-float): byte-identical to the PIL path (kpvid_tpu/native;
+    # proven in tests/test_native.py + an import-time self-check).
+    # 'auto' = use it when it builds and verifies on this host;
+    # 'on' = require it; 'off' = PIL only.
+    native_ops: str = "auto"
     # sequence loading (reference: data/sequence_dataloader.py:14)
     sequence_len: int = 33
     # pseudo-labeling (reference: data/keypoint_dataloader.py:13). The TPU
@@ -194,6 +200,10 @@ class Config:
             raise ValueError(f"unknown model.upsample_mode {m.upsample_mode!r}")
         if m.lstm_unroll < 1:
             raise ValueError("model.lstm_unroll must be >= 1")
+        if self.data.native_ops not in ("auto", "on", "off"):
+            raise ValueError(
+                f"data.native_ops must be auto|on|off, got {self.data.native_ops!r}"
+            )
         if t.compute_dtype not in ("bfloat16", "float32"):
             raise ValueError(f"unknown compute_dtype {t.compute_dtype!r}")
         if t.batch_size <= 0:

@@ -48,16 +48,20 @@ class ImagePairDataset:
         augment_samples: bool | None = None,
         random_pairs: bool | None = None,
         decode_cache_mb: float = 0,
+        native_ops: str = "auto",
     ):
         """decode_cache_mb > 0 enables a byte-budgeted LRU of decoded RGB
         frames shared across the pipeline's worker threads (data/cache.py)
-        — numerically exact, saves the 2 JPEG decodes per sample on a hit."""
+        — numerically exact, saves the 2 JPEG decodes per sample on a hit.
+        native_ops selects the byte-identical C++ geometry backend
+        (augment.FrameOps; 'auto' | 'on' | 'off')."""
         self.data_dir = data_dir
         self.image_size = image_size
         self.videos = read_split(data_dir, subset)
         is_train = subset == "train"
         self.augment_samples = is_train if augment_samples is None else augment_samples
         self.random_pairs = is_train if random_pairs is None else random_pairs
+        self.ops = augment.resolve_frame_ops(native_ops)
         self.cache = FrameCache(decode_cache_mb) if decode_cache_mb > 0 else None
         self._frame_counts: dict[str, int] = {}
         self._fc_lock = threading.Lock()
@@ -95,34 +99,34 @@ class ImagePairDataset:
         else:
             t, t_future = 0, min(10, n_frames - 1)
 
-        im = self._load(rel, t)
-        fim = self._load(rel, t_future)
+        ops = self.ops
+        im = ops.prepare(self._load(rel, t))
+        fim = ops.prepare(self._load(rel, t_future))
 
         size = self.image_size
         if self.augment_samples:
             angle = int(rng.integers(-10, 11))
-            im, fim = im.rotate(angle), fim.rotate(angle)
-            im, _ = augment.resize_short_side(im, size)
-            fim, _ = augment.resize_short_side(fim, size)
-            w, h = im.size
+            im, fim = ops.rotate(im, angle), ops.rotate(fim, angle)
+            im, _ = ops.resize_short_side(im, size)
+            fim, _ = ops.resize_short_side(fim, size)
+            w, h = ops.size(im)
             if w > h:
                 off = int(rng.integers(0, w - size + 1))
                 box = (off, 0, off + size, size)
             else:
                 off = int(rng.integers(0, h - size + 1))
                 box = (0, off, size, off + size)
-            im, fim = im.crop(box), fim.crop(box)
+            im, fim = ops.crop(im, box), ops.crop(fim, box)
             if int(rng.integers(0, 2)):
-                im = im.transpose(Image.FLIP_LEFT_RIGHT)
-                fim = fim.transpose(Image.FLIP_LEFT_RIGHT)
-            im, fim = augment.apply_random_filter([im, fim], rng)
+                im, fim = ops.hflip(im), ops.hflip(fim)
+            im, fim = ops.random_filter([im, fim], rng)
         else:
-            box, _ = augment.pair_test_crop_box(im.size, size)
-            im, _ = augment.resize_short_side(im, size)
-            fim, _ = augment.resize_short_side(fim, size)
-            im, fim = im.crop(box), fim.crop(box)
+            box, _ = augment.pair_test_crop_box(ops.size(im), size)
+            im, _ = ops.resize_short_side(im, size)
+            fim, _ = ops.resize_short_side(fim, size)
+            im, fim = ops.crop(im, box), ops.crop(fim, box)
 
         return {
-            "image": augment.to_unit_float(im) * 2.0 - 1.0,
-            "future_image": augment.to_unit_float(fim) * 2.0 - 1.0,
+            "image": ops.to_pm1(im),
+            "future_image": ops.to_pm1(fim),
         }

@@ -39,15 +39,18 @@ class VideoFramesDataset:
         subset: str,
         image_size: int = 128,
         as_uint8: bool = False,
+        native_ops: str = "auto",
     ):
         """as_uint8: keep frames as decoded uint8 pixels; the consumer maps
         them to [-1, 1] f32 ON DEVICE (u8/255*2-1, the same formula this
         loader otherwise applies on host — identical values). Quarters the
         host->device bytes of the labeling stream, which is the labeler's
-        bottleneck on slow interconnects (docs/PERF.md)."""
+        bottleneck on slow interconnects (docs/PERF.md). native_ops selects
+        the byte-identical C++ resize backend (augment.FrameOps)."""
         self.data_dir = data_dir
         self.image_size = image_size
         self.as_uint8 = as_uint8
+        self.ops = augment.resolve_frame_ops(native_ops)
         self.videos = read_split(data_dir, subset)
 
     def __len__(self) -> int:
@@ -62,15 +65,16 @@ class VideoFramesDataset:
         uint8 pixels when as_uint8 (see __init__)."""
         rel, _ = self.videos[idx]
         n = video_frame_count(self.data_dir, rel)
+        ops = self.ops
         first = load_frame(self.data_dir, rel, 0).convert("RGB")
         box, ratio = augment.center_crop_box(first.size, self.image_size)
         w, h = first.size
         dtype = np.uint8 if self.as_uint8 else np.float32
         frames = np.empty((n, self.image_size, self.image_size, 3), dtype)
         for i in range(n):
-            im = load_frame(self.data_dir, rel, i).convert("RGB")
-            im = im.resize((int(w / ratio), int(h / ratio))).crop(box)
-            frames[i] = np.asarray(im) if self.as_uint8 else augment.to_unit_float(im)
+            im = ops.prepare(load_frame(self.data_dir, rel, i).convert("RGB"))
+            im = ops.crop(ops.resize(im, (int(w / ratio), int(h / ratio))), box)
+            frames[i] = ops.to_u8(im) if self.as_uint8 else ops.to_unit(im)
         return frames if self.as_uint8 else frames * 2.0 - 1.0
 
     def iter_videos(

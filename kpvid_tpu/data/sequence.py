@@ -22,7 +22,6 @@ from __future__ import annotations
 from os import path as osp
 
 import numpy as np
-from PIL import Image
 
 from . import augment
 from .image_pair import load_frame, read_split, video_frame_count
@@ -40,7 +39,9 @@ class SequenceDataset:
         with_image_seq: bool = False,
         augment_samples: bool | None = None,
         random_order: bool | None = None,
+        native_ops: str = "auto",
     ):
+        self.ops = augment.resolve_frame_ops(native_ops)
         self.data_dir = data_dir
         self.n_pts = n_pts
         self.n_action = n_action
@@ -77,7 +78,8 @@ class SequenceDataset:
         else:
             start = 0
 
-        image = load_frame(self.data_dir, rel, start).convert("RGB")
+        ops = self.ops
+        image = ops.prepare(load_frame(self.data_dir, rel, start).convert("RGB"))
 
         if gap >= 1:
             fr_idx = [start + gap * i for i in range(t_total)]
@@ -92,12 +94,12 @@ class SequenceDataset:
 
         if self.augment_samples:
             angle = int(rng.integers(-15, 16))
-            image = image.rotate(angle)
+            image = ops.rotate(image, angle)
             real_seq = augment.rotate_keypoints(real_seq, angle)
 
-        box, ratio = augment.center_crop_box(image.size, self.image_size)
-        w, h = image.size
-        image = image.resize((int(w / ratio), int(h / ratio))).crop(box)
+        box, ratio = augment.center_crop_box(ops.size(image), self.image_size)
+        w, h = ops.size(image)
+        image = ops.crop(ops.resize(image, (int(w / ratio), int(h / ratio))), box)
 
         image_seq = None
         if self.with_image_seq:
@@ -107,9 +109,9 @@ class SequenceDataset:
                 seq_gap, twice, n_future = 1, True, n_future // 2
             frames = []
             for i in range(1, n_future + 1):
-                cur = load_frame(self.data_dir, rel, i * seq_gap).convert("RGB")
-                cur = cur.resize((int(w / ratio), int(h / ratio))).crop(box)
-                arr = augment.to_unit_float(cur)
+                cur = ops.prepare(load_frame(self.data_dir, rel, i * seq_gap).convert("RGB"))
+                cur = ops.crop(ops.resize(cur, (int(w / ratio), int(h / ratio))), box)
+                arr = ops.to_unit(cur)
                 frames.append(arr)
                 if twice:
                     frames.append(arr)
@@ -117,13 +119,13 @@ class SequenceDataset:
 
         if self.augment_samples:
             if int(rng.integers(0, 2)):
-                image = image.transpose(Image.FLIP_LEFT_RIGHT)
+                image = ops.hflip(image)
                 real_seq[:, :, 0] *= -1.0
             scale = int(rng.integers(70, 121)) / 100.0
             real_seq = real_seq * scale
 
         out = {
-            "image": augment.to_unit_float(image) * 2.0 - 1.0,
+            "image": ops.to_pm1(image),
             "keypoints": real_seq[0].astype(np.float32),
             "real_seq": real_seq[1:].astype(np.float32),
             "action_code": augment.one_hot(self.n_action, act),

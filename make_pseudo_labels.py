@@ -136,7 +136,8 @@ def main():
     def all_videos():
         for subset in ("train", "test"):
             ds = VideoFramesDataset(
-                data_dir, subset, image_size=m_cfg.image_size, as_uint8=True
+                data_dir, subset, image_size=m_cfg.image_size, as_uint8=True,
+                native_ops=config.data.native_ops,
             )
             if is_primary():
                 logger.info("%s set: %d videos", subset, len(ds))

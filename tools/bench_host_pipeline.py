@@ -68,6 +68,8 @@ def main():
     ap.add_argument("--root", default="/tmp/kpvid_hostbench")
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--batches", type=int, default=12)
+    ap.add_argument("--native", default="auto", choices=["auto", "on", "off"],
+                    help="C++ geometry backend (DataConfig.native_ops)")
     args = ap.parse_args()
 
     from kpvid_tpu.data import ImagePairDataset
@@ -75,10 +77,12 @@ def main():
     root = Path(args.root)
     build_tree(root)
     print(f"host: {os.cpu_count()} cpu core(s); batch {args.batch}; "
+          f"native={args.native}; "
           f"device demand: 384 examples/s (24 steps/s x 16, v5e stage-1)")
     for cache_mb in (0, 1024):
         for nw in (1, 2, 4, None):
-            ds = ImagePairDataset(str(root), "train", 128, decode_cache_mb=cache_mb)
+            ds = ImagePairDataset(str(root), "train", 128, decode_cache_mb=cache_mb,
+                                  native_ops=args.native)
             if ds.cache is not None:
                 # prime to full residency -> steady-state (all-hit) rate,
                 # the regime a budget >= decoded-dataset-size converges to

@@ -99,14 +99,19 @@ def main():
         train_ds = ImagePairDataset(
             data_dir, "train", image_size=m_cfg.image_size,
             decode_cache_mb=config.data.decode_cache_mb,
+            native_ops=config.data.native_ops,
         )
-        test_ds = ImagePairDataset(data_dir, "test", image_size=m_cfg.image_size)
+        test_ds = ImagePairDataset(
+            data_dir, "test", image_size=m_cfg.image_size,
+            native_ops=config.data.native_ops,
+        )
     else:
         kw = dict(
             n_pts=m_cfg.n_pts,
             n_action=m_cfg.n_action,
             sequence_len=config.data.sequence_len,
             image_size=m_cfg.image_size,
+            native_ops=config.data.native_ops,
         )
         train_ds = SequenceDataset(data_dir, "train", **kw)
         test_ds = SequenceDataset(data_dir, "test", **kw)
