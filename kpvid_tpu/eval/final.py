@@ -102,11 +102,20 @@ class FinalGenerator:
         stage2_params: dict,
         im: jax.Array,
         action_code: jax.Array,
-        rng: jax.Array,
+        rng: jax.Array | None,
         split_first_conv: bool = True,
         fuse_heads: bool = True,
+        z: jax.Array | None = None,
     ) -> dict:
         """im: [B, H, W, 3] in [-1, 1]; action_code: [B, A] one-hot.
+
+        z: optional explicit motion latents [B, vae_dim]; when given, rng is
+        unused (may be None) and each sample's output depends only on its
+        own (im, action, z) row — the property micro-batched serving needs
+        so a request's video never depends on which batch it rode in
+        (eval/server.py draws one z per REQUEST). When omitted, z is drawn
+        ~ N(0,1) from rng for the whole batch, like the reference
+        (final_model.py:71).
 
         Returns pred_im_seq [B,T,H,W,3], mask, pred_im_crude, current_points
         / future_points visualizations inputs (raw keypoints), matching the
@@ -131,7 +140,10 @@ class FinalGenerator:
         first_pt = current_mu.reshape(b, 2 * self.n_pts)
 
         # 2) sample motion: z ~ N(0,1), scan-decode T keypoint frames
-        z = jax.random.normal(rng, (b, self.vae_dim), jnp.float32)
+        if z is None:
+            z = jax.random.normal(rng, (b, self.vae_dim), jnp.float32)
+        else:
+            z = z.astype(jnp.float32)
         pred_flat = self.stage2.apply(
             {"params": stage2_params}, z, first_pt, action_code,
             method=self.stage2.decode,

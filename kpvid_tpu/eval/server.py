@@ -1,0 +1,437 @@
+"""Production serving daemon: micro-batched video generation over HTTP.
+
+No reference counterpart — the reference ships only the offline
+evaluate.py sweep (reference evaluate.py:41-131); this is the rebuild's
+own production-serving subsystem, built on the same fused serving graph
+(eval/final.py) that bench.py measures.
+
+Design:
+
+- ``MicroBatcher``: incoming requests land in a queue; a single
+  dispatcher thread drains up to ``max_batch`` of them (waiting at most
+  ``max_wait_ms`` after the first pending request so singletons don't
+  stall), pads the batch up to a fixed BUCKET size, and runs the jitted
+  generator once. Fixed buckets mean XLA compiles one program per bucket
+  (compiled lazily or at ``warmup()``), never per request pattern.
+- **Batching-invariant determinism**: the motion latent ``z`` is derived
+  from the request's seed on the host (one ``np.random.default_rng(seed)``
+  standard normal per request) and fed through
+  ``FinalGenerator.generate(z=...)``, so each sample's video depends only
+  on its own (image, action, seed) — never on which micro-batch it rode
+  in. Same seed -> same video, under any traffic.
+- HTTP layer: stdlib ``ThreadingHTTPServer`` — handler threads do the
+  host work (decode, preprocess, response encoding) while the dispatcher
+  thread owns the device, so the TPU never waits on PNG codecs.
+
+Endpoints:
+    POST /v1/generate   JSON {"image": <base64 PNG/JPEG>, "action": int,
+                              "seed": int?, "format": "npz"|"gif"}
+                        -> npz (pred_im_seq/mask uint8, keypoints f32)
+                           or animated GIF of the predicted video
+    GET  /healthz       liveness + model/bucket info
+    GET  /stats         request/batch counters and latency percentiles
+
+Input preprocessing matches the evaluation pipeline exactly (short side
+-> image_size, center crop, [-1,1]; data/sequence.py eval path), so the
+served distribution is the one the model was evaluated on.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import queue
+import threading
+import time
+from collections import deque
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from ..configs import Config
+from ..data import augment
+from .final import FinalGenerator
+
+DEFAULT_BUCKETS = (1, 2, 4, 8, 16, 32)
+
+
+def preprocess_image(pil_image, image_size: int, ops=None) -> np.ndarray:
+    """Decode-side geometry chain, identical to the eval dataset's
+    (data/sequence.py: short side -> image_size via the reference
+    center-crop box, then [-1,1] float32). Returns [S, S, 3]."""
+    ops = ops or augment.resolve_frame_ops("auto")
+    frame = ops.prepare(pil_image.convert("RGB"))
+    box, ratio = augment.center_crop_box(ops.size(frame), image_size)
+    w, h = ops.size(frame)
+    frame = ops.crop(ops.resize(frame, (int(w / ratio), int(h / ratio))), box)
+    return ops.to_pm1(frame)
+
+
+def request_z(seed: int, vae_dim: int) -> np.ndarray:
+    """The request's motion latent: z ~ N(0,1)^vae_dim from a host-side
+    Philox stream keyed by the request seed. Host-side (not
+    jax.random) so enqueueing a request never touches the device."""
+    return np.random.default_rng(seed).standard_normal(vae_dim).astype(np.float32)
+
+
+def to_uint8(x: np.ndarray, rescale: bool = True) -> np.ndarray:
+    """[-1,1] (or [0,1] with rescale=False) -> uint8, same rounding as
+    evaluate.py's PNG writer (truncating cast after *255)."""
+    if rescale:
+        x = 0.5 * (x + 1.0)
+    return (np.clip(x, 0.0, 1.0) * 255).astype(np.uint8)
+
+
+def encode_gif(frames_u8: np.ndarray, fps: int = 8) -> bytes:
+    """[T, H, W, 3] uint8 -> animated GIF bytes."""
+    from PIL import Image
+
+    ims = [Image.fromarray(f) for f in frames_u8]
+    buf = io.BytesIO()
+    ims[0].save(
+        buf, format="GIF", save_all=True, append_images=ims[1:],
+        duration=int(1000 / fps), loop=0,
+    )
+    return buf.getvalue()
+
+
+class InferenceEngine:
+    """Owns the merged parameters and the jitted serving graph; maps a
+    host-side (images, actions, z) batch to host-side numpy outputs."""
+
+    OUTPUT_KEYS = ("pred_im_seq", "mask", "current_points", "future_points")
+
+    def __init__(self, config: Config, stage1_vars: dict, stage2_params: dict):
+        self.config = config
+        self.final = FinalGenerator(config)
+        self.s1_vars = stage1_vars
+        self.s2_params = stage2_params
+        self.vae_dim = config.model.vae_dim
+        self.image_size = config.model.image_size
+        self.n_action = config.model.n_action
+
+    def run(self, images: np.ndarray, actions: np.ndarray, z: np.ndarray) -> dict:
+        """images [B,S,S,3] f32 in [-1,1]; actions [B] int; z [B,vae_dim]."""
+        import jax
+
+        act = np.zeros((actions.shape[0], self.n_action), np.float32)
+        act[np.arange(actions.shape[0]), actions] = 1.0
+        out = self.final.jitted_generate(
+            self.s1_vars, self.s2_params,
+            images, act, None, z=z,
+        )
+        out = {k: out[k] for k in self.OUTPUT_KEYS}
+        # one blocking readback; jax.block_until_ready is unreliable under
+        # the axon tunnel (CLAUDE.md), np.asarray is the hard sync
+        return {k: np.asarray(jax.device_get(v)) for k, v in out.items()}
+
+
+@dataclass
+class _Pending:
+    image: np.ndarray
+    action: int
+    z: np.ndarray
+    future: Future = field(default_factory=Future)
+    enqueued_at: float = field(default_factory=time.monotonic)
+
+
+class MicroBatcher:
+    """Request coalescing in front of an InferenceEngine.
+
+    One dispatcher thread drains the queue: it waits up to ``max_wait_ms``
+    after the first pending request for companions, takes at most
+    ``max_batch`` (= the largest bucket), zero-pads up to the smallest
+    bucket that fits, runs the engine once, and completes each request's
+    Future with its own slice. Pad rows are zeros (image, one-hot, z) and
+    are computed-then-discarded; with inference-mode BN there is no
+    cross-row coupling, so padding changes nothing but the program shape.
+    """
+
+    def __init__(
+        self,
+        engine: InferenceEngine,
+        buckets: tuple[int, ...] = DEFAULT_BUCKETS,
+        max_wait_ms: float = 5.0,
+        max_queue: int = 256,
+    ):
+        if not buckets or any(b <= 0 for b in buckets):
+            raise ValueError(f"buckets must be positive, got {buckets}")
+        self.engine = engine
+        self.buckets = tuple(sorted(set(buckets)))
+        self.max_batch = self.buckets[-1]
+        self.max_wait = max_wait_ms / 1000.0
+        self._q: queue.Queue[_Pending | None] = queue.Queue(maxsize=max_queue)
+        self._stats_lock = threading.Lock()
+        self.requests_total = 0
+        self.rejected_total = 0
+        self.batches_total = 0
+        self.rows_total = 0  # sum of real (unpadded) rows over batches
+        self.padded_rows_total = 0
+        self._latencies_ms: deque[float] = deque(maxlen=1024)
+        self._thread = threading.Thread(target=self._loop, daemon=True, name="kpvid-batcher")
+        self._stopped = False
+        self._thread.start()
+
+    # ------------------------------------------------------------- client
+    def submit(self, image: np.ndarray, action: int, z: np.ndarray) -> Future:
+        """Enqueue one request; returns a Future resolving to a dict of
+        per-sample outputs. Raises queue.Full when overloaded (callers
+        map it to HTTP 503)."""
+        if self._stopped:
+            raise RuntimeError("MicroBatcher is stopped")
+        p = _Pending(image=image, action=int(action), z=z)
+        try:
+            self._q.put_nowait(p)
+        except queue.Full:
+            with self._stats_lock:
+                self.rejected_total += 1
+            raise
+        with self._stats_lock:
+            self.requests_total += 1
+        return p.future
+
+    def stop(self, timeout: float = 10.0):
+        self._stopped = True
+        self._q.put(None)
+        self._thread.join(timeout=timeout)
+
+    def stats(self) -> dict:
+        with self._stats_lock:
+            lat = sorted(self._latencies_ms)
+            n = len(lat)
+            return {
+                "requests_total": self.requests_total,
+                "rejected_total": self.rejected_total,
+                "batches_total": self.batches_total,
+                "mean_batch_rows": (self.rows_total / self.batches_total) if self.batches_total else 0.0,
+                "pad_fraction": (
+                    self.padded_rows_total / (self.rows_total + self.padded_rows_total)
+                    if self.rows_total else 0.0
+                ),
+                "latency_ms_p50": lat[n // 2] if n else 0.0,
+                "latency_ms_p95": lat[min(n - 1, int(n * 0.95))] if n else 0.0,
+                "queue_depth": self._q.qsize(),
+                "buckets": list(self.buckets),
+            }
+
+    # --------------------------------------------------------- dispatcher
+    def warmup(self):
+        """Compile every bucket before taking traffic (zeros batches run
+        through the real jitted program; persistent XLA cache makes
+        restarts cheap)."""
+        s = self.engine.image_size
+        for b in self.buckets:
+            self.engine.run(
+                np.zeros((b, s, s, 3), np.float32),
+                np.zeros((b,), np.int64),
+                np.zeros((b, self.engine.vae_dim), np.float32),
+            )
+
+    def _bucket_for(self, n: int) -> int:
+        for b in self.buckets:
+            if b >= n:
+                return b
+        return self.max_batch
+
+    def _collect(self) -> list[_Pending] | None:
+        """Block for the first request, then linger max_wait for more.
+        Returns None on the stop sentinel."""
+        first = self._q.get()
+        if first is None:
+            return None
+        batch = [first]
+        deadline = time.monotonic() + self.max_wait
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self._q.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if nxt is None:
+                self._q.put(None)  # re-arm the sentinel for the outer loop
+                break
+            batch.append(nxt)
+        return batch
+
+    def _loop(self):
+        while True:
+            batch = self._collect()
+            if batch is None:
+                return
+            try:
+                self._run_batch(batch)
+            except Exception as exc:  # engine failure -> fail the requests, keep serving
+                for p in batch:
+                    if not p.future.done():
+                        p.future.set_exception(exc)
+
+    def _run_batch(self, batch: list[_Pending]):
+        n = len(batch)
+        b = self._bucket_for(n)
+        s = self.engine.image_size
+        images = np.zeros((b, s, s, 3), np.float32)
+        actions = np.zeros((b,), np.int64)
+        z = np.zeros((b, self.engine.vae_dim), np.float32)
+        for i, p in enumerate(batch):
+            images[i] = p.image
+            actions[i] = p.action
+            z[i] = p.z
+        out = self.engine.run(images, actions, z)
+        now = time.monotonic()
+        with self._stats_lock:
+            self.batches_total += 1
+            self.rows_total += n
+            self.padded_rows_total += b - n
+            for p in batch:
+                self._latencies_ms.append((now - p.enqueued_at) * 1000.0)
+        for i, p in enumerate(batch):
+            p.future.set_result({k: v[i] for k, v in out.items()})
+
+
+# ---------------------------------------------------------------- HTTP
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server_version = "kpvid-serve/1.0"
+    # set by make_server():
+    batcher: MicroBatcher = None
+    engine: InferenceEngine = None
+    frame_ops = None
+    request_timeout_s: float = 60.0
+    quiet: bool = True
+
+    def log_message(self, fmt, *args):  # stdlib default spams stderr
+        if not self.quiet:
+            super().log_message(fmt, *args)
+
+    # -------------------------------------------------------------- GET
+    def do_GET(self):
+        if self.path == "/healthz":
+            self._send_json(200, {
+                "status": "ok",
+                "image_size": self.engine.image_size,
+                "n_action": self.engine.n_action,
+                "n_future_frames": self.engine.config.model.n_future_frames,
+                "buckets": list(self.batcher.buckets),
+            })
+        elif self.path == "/stats":
+            self._send_json(200, self.batcher.stats())
+        else:
+            self._send_json(404, {"error": f"no route {self.path}"})
+
+    # ------------------------------------------------------------- POST
+    def do_POST(self):
+        if self.path != "/v1/generate":
+            self._send_json(404, {"error": f"no route {self.path}"})
+            return
+        try:
+            req = self._parse_request()
+        except ValueError as exc:
+            self._send_json(400, {"error": str(exc)})
+            return
+        try:
+            fut = self.batcher.submit(req["image"], req["action"], req["z"])
+        except queue.Full:
+            self._send_json(503, {"error": "server overloaded, retry"})
+            return
+        try:
+            out = fut.result(timeout=self.request_timeout_s)
+        except Exception as exc:  # noqa: BLE001 — report engine errors as 500s
+            self._send_json(500, {"error": f"{type(exc).__name__}: {exc}"})
+            return
+        self._send_output(out, req)
+
+    def _parse_request(self) -> dict:
+        length = int(self.headers.get("Content-Length", 0))
+        if length <= 0:
+            raise ValueError("empty body")
+        try:
+            body = json.loads(self.rfile.read(length))
+        except json.JSONDecodeError as exc:
+            raise ValueError(f"invalid JSON: {exc}") from exc
+        if "image" not in body or "action" not in body:
+            raise ValueError("body must have 'image' (base64) and 'action' (int)")
+        action = int(body["action"])
+        if not 0 <= action < self.engine.n_action:
+            raise ValueError(f"action must be in [0, {self.engine.n_action})")
+        fmt = body.get("format", "npz")
+        if fmt not in ("npz", "gif"):
+            raise ValueError("format must be 'npz' or 'gif'")
+        from PIL import Image, UnidentifiedImageError
+
+        try:
+            raw = base64.b64decode(body["image"], validate=True)
+            pil = Image.open(io.BytesIO(raw))
+            pil.load()
+        except (ValueError, UnidentifiedImageError, OSError) as exc:
+            raise ValueError(f"could not decode image: {exc}") from exc
+        seed = int(body.get("seed", time.time_ns() & 0x7FFFFFFF))
+        return {
+            "image": preprocess_image(pil, self.engine.image_size, self.frame_ops),
+            "action": action,
+            "z": request_z(seed, self.engine.vae_dim),
+            "seed": seed,
+            "format": fmt,
+        }
+
+    def _send_output(self, out: dict, req: dict):
+        pred_u8 = to_uint8(out["pred_im_seq"])
+        if req["format"] == "gif":
+            self._send_bytes(200, encode_gif(pred_u8), "image/gif",
+                             extra={"X-Kpvid-Seed": str(req["seed"])})
+            return
+        buf = io.BytesIO()
+        np.savez_compressed(
+            buf,
+            pred_im_seq=pred_u8,
+            mask=to_uint8(out["mask"], rescale=False),
+            current_points=out["current_points"].astype(np.float32),
+            future_points=out["future_points"].astype(np.float32),
+            seed=np.int64(req["seed"]),
+        )
+        self._send_bytes(200, buf.getvalue(), "application/x-npz",
+                         extra={"X-Kpvid-Seed": str(req["seed"])})
+
+    # ---------------------------------------------------------- plumbing
+    def _send_json(self, code: int, payload: dict):
+        self._send_bytes(code, json.dumps(payload).encode(), "application/json")
+
+    def _send_bytes(self, code: int, data: bytes, ctype: str, extra: dict | None = None):
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(data)))
+        for k, v in (extra or {}).items():
+            self.send_header(k, v)
+        self.end_headers()
+        self.wfile.write(data)
+
+
+def make_server(
+    engine: InferenceEngine,
+    host: str = "127.0.0.1",
+    port: int = 8000,
+    buckets: tuple[int, ...] = DEFAULT_BUCKETS,
+    max_wait_ms: float = 5.0,
+    max_queue: int = 256,
+    warmup: bool = False,
+    quiet: bool = True,
+) -> tuple[ThreadingHTTPServer, MicroBatcher]:
+    """Wire a MicroBatcher + HTTP server around an engine. The caller owns
+    serve_forever() (usually on a thread) and shutdown ordering:
+    server.shutdown() then batcher.stop()."""
+    batcher = MicroBatcher(engine, buckets=buckets, max_wait_ms=max_wait_ms, max_queue=max_queue)
+    if warmup:
+        batcher.warmup()
+    handler = type("BoundHandler", (_Handler,), {
+        "batcher": batcher,
+        "engine": engine,
+        "frame_ops": augment.resolve_frame_ops("auto"),
+        "quiet": quiet,
+    })
+    server = ThreadingHTTPServer((host, port), handler)
+    return server, batcher

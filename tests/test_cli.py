@@ -244,6 +244,67 @@ def test_evaluate_two_process_matches_single(mini_env, mini_stage2):
             (mini_env / "evalS" / rel).read_bytes(), rel
 
 
+def test_serve_cli_miniature(mini_env, mini_stage2):
+    """Always-on serving-daemon smoke: serve.py restores the miniature
+    two-checkpoint composition, warms its bucket, binds, answers
+    /healthz and /v1/generate, and exits 0 on SIGTERM."""
+    import base64
+    import io
+    import json
+    import socket
+    import time
+    import urllib.request
+
+    import numpy as np
+    from PIL import Image
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ, JAX_PLATFORMS="cpu", KPVID_PLATFORM="cpu")
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.Popen(
+        [sys.executable, "serve.py", "--config", str(mini_env / "cfg.yaml"),
+         "--checkpoint_stage1", f"{mini_env}/results/detector_translator",
+         "--checkpoint_stage2", f"{mini_env}/results/motion_generator",
+         "--port", str(port), "--buckets", "1", "--max_wait_ms", "1"],
+        cwd=REPO, env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True,
+    )
+    base = f"http://127.0.0.1:{port}"
+    try:
+        deadline = time.time() + 600
+        while True:  # restore + warmup happen before the port binds
+            try:
+                with urllib.request.urlopen(f"{base}/healthz", timeout=5) as r:
+                    health = json.loads(r.read())
+                break
+            except OSError:
+                assert proc.poll() is None, f"serve.py died:\n{proc.stdout.read()}"
+                assert time.time() < deadline, "serve.py did not come up"
+                time.sleep(0.5)
+        assert health["status"] == "ok" and health["image_size"] == 32
+
+        png = io.BytesIO()
+        Image.fromarray(
+            (np.arange(48 * 40 * 3, dtype=np.uint32) % 255).astype(np.uint8)
+            .reshape(48, 40, 3)
+        ).save(png, format="PNG")
+        body = json.dumps({
+            "image": base64.b64encode(png.getvalue()).decode(),
+            "action": 1, "seed": 3,
+        }).encode()
+        req = urllib.request.Request(
+            f"{base}/v1/generate", body, {"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=300) as r:
+            out = dict(np.load(io.BytesIO(r.read())))
+        assert out["pred_im_seq"].shape == (32, 32, 32, 3)
+        assert out["future_points"].shape == (32, 8, 2)
+    finally:
+        proc.terminate()
+        assert proc.wait(timeout=60) == 0, proc.stdout.read()
+
+
 @_full_chain
 def test_full_chain(tmp_path):
     cfg = tmp_path / "cfg.yaml"
