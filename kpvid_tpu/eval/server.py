@@ -22,6 +22,12 @@ Design:
 - HTTP layer: stdlib ``ThreadingHTTPServer`` — handler threads do the
   host work (decode, preprocess, response encoding) while the dispatcher
   thread owns the device, so the TPU never waits on PNG codecs.
+- **uint8 on the wire, quantized on device**: the serving program
+  converts ``pred_im_seq``/``mask`` to uint8 *inside* the jitted graph
+  (same truncating ``*255`` rounding as the PNG writer — byte-equality
+  vs the host ``to_uint8`` is tested), so the device→host readback moves
+  4x fewer bytes (268 MB -> 67 MB per batch-32 call at 128^2). Readback
+  is the daemon's dominant non-compute cost; see docs/PERF.md.
 
 Endpoints:
     POST /v1/generate   JSON {"image": <base64 PNG/JPEG>, "action": int,
@@ -50,6 +56,9 @@ from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
+
+import jax
+import jax.numpy as jnp
 
 from ..configs import Config
 from ..data import augment
@@ -85,6 +94,18 @@ def to_uint8(x: np.ndarray, rescale: bool = True) -> np.ndarray:
     return (np.clip(x, 0.0, 1.0) * 255).astype(np.uint8)
 
 
+def device_quantize(x: jax.Array, rescale: bool = True) -> jax.Array:
+    """On-device mirror of :func:`to_uint8` — same f32 arithmetic, same
+    truncating float->uint8 cast (XLA ConvertElementType rounds toward
+    zero, like numpy's astype), asserted byte-equal in
+    tests/test_server.py::test_device_quantize_matches_host. Runs inside
+    the jitted serving program so the D2H readback is uint8."""
+    x = x.astype(jnp.float32)
+    if rescale:
+        x = 0.5 * (x + 1.0)
+    return (jnp.clip(x, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+
 def encode_gif(frames_u8: np.ndarray, fps: int = 8) -> bytes:
     """[T, H, W, 3] uint8 -> animated GIF bytes."""
     from PIL import Image
@@ -100,7 +121,12 @@ def encode_gif(frames_u8: np.ndarray, fps: int = 8) -> bytes:
 
 class InferenceEngine:
     """Owns the merged parameters and the jitted serving graph; maps a
-    host-side (images, actions, z) batch to host-side numpy outputs."""
+    host-side (images, actions, z) batch to host-side numpy outputs.
+
+    The serving program wraps ``FinalGenerator.generate`` with a
+    device-side uint8 epilogue for the image-valued outputs
+    (``pred_im_seq``, ``mask``), shrinking the per-call readback 4x —
+    the wire format is uint8 anyway (npz/GIF/PNG)."""
 
     OUTPUT_KEYS = ("pred_im_seq", "mask", "current_points", "future_points")
 
@@ -112,18 +138,23 @@ class InferenceEngine:
         self.vae_dim = config.model.vae_dim
         self.image_size = config.model.image_size
         self.n_action = config.model.n_action
+        self._jit_serve = jax.jit(self._serve_program)
+
+    def _serve_program(self, s1_vars, s2_params, images, act, z) -> dict:
+        out = self.final.generate(s1_vars, s2_params, images, act, None, z=z)
+        return {
+            "pred_im_seq": device_quantize(out["pred_im_seq"]),
+            "mask": device_quantize(out["mask"], rescale=False),
+            "current_points": out["current_points"].astype(jnp.float32),
+            "future_points": out["future_points"].astype(jnp.float32),
+        }
 
     def run(self, images: np.ndarray, actions: np.ndarray, z: np.ndarray) -> dict:
-        """images [B,S,S,3] f32 in [-1,1]; actions [B] int; z [B,vae_dim]."""
-        import jax
-
+        """images [B,S,S,3] f32 in [-1,1]; actions [B] int; z [B,vae_dim].
+        Returns pred_im_seq/mask as uint8, points as f32."""
         act = np.zeros((actions.shape[0], self.n_action), np.float32)
         act[np.arange(actions.shape[0]), actions] = 1.0
-        out = self.final.jitted_generate(
-            self.s1_vars, self.s2_params,
-            images, act, None, z=z,
-        )
-        out = {k: out[k] for k in self.OUTPUT_KEYS}
+        out = self._jit_serve(self.s1_vars, self.s2_params, images, act, z)
         # one blocking readback; jax.block_until_ready is unreliable under
         # the axon tunnel (CLAUDE.md), np.asarray is the hard sync
         return {k: np.asarray(jax.device_get(v)) for k, v in out.items()}
@@ -380,7 +411,12 @@ class _Handler(BaseHTTPRequestHandler):
         }
 
     def _send_output(self, out: dict, req: dict):
-        pred_u8 = to_uint8(out["pred_im_seq"])
+        # the engine quantizes on device (uint8 on the wire); to_uint8 is
+        # the fallback for f32 outputs from a bare FinalGenerator
+        pred = out["pred_im_seq"]
+        pred_u8 = pred if pred.dtype == np.uint8 else to_uint8(pred)
+        mask = out["mask"]
+        mask_u8 = mask if mask.dtype == np.uint8 else to_uint8(mask, rescale=False)
         if req["format"] == "gif":
             self._send_bytes(200, encode_gif(pred_u8), "image/gif",
                              extra={"X-Kpvid-Seed": str(req["seed"])})
@@ -389,7 +425,7 @@ class _Handler(BaseHTTPRequestHandler):
         np.savez_compressed(
             buf,
             pred_im_seq=pred_u8,
-            mask=to_uint8(out["mask"], rescale=False),
+            mask=mask_u8,
             current_points=out["current_points"].astype(np.float32),
             future_points=out["future_points"].astype(np.float32),
             seed=np.int64(req["seed"]),

@@ -76,9 +76,15 @@ def test_microbatcher_coalesces_and_matches_single(engine, rng):
 
     for i in range(3):
         solo = engine.run(images[i : i + 1], np.asarray([actions[i]]), zs[i][None])
-        np.testing.assert_allclose(
-            outs[i]["pred_im_seq"], solo["pred_im_seq"][0], atol=1e-5
+        # wire format is uint8 (quantized on device); a different bucket
+        # shape can move f32 values by an ulp, so allow a +-1 flip on
+        # exact quantization boundaries
+        assert outs[i]["pred_im_seq"].dtype == np.uint8
+        diff = np.abs(
+            outs[i]["pred_im_seq"].astype(np.int16)
+            - solo["pred_im_seq"][0].astype(np.int16)
         )
+        assert diff.max() <= 1
         np.testing.assert_allclose(
             outs[i]["future_points"], solo["future_points"][0], atol=1e-5
         )
@@ -196,6 +202,23 @@ def test_to_uint8_matches_png_writer_rounding():
     np.testing.assert_array_equal(
         to_uint8(x), (np.clip(0.5 * (x + 1), 0, 1) * 255).astype(np.uint8)
     )
+
+
+def test_device_quantize_matches_host(rng):
+    """The on-device uint8 epilogue is byte-identical to the host
+    to_uint8 (same f32 math, truncating cast), including razor-edge
+    inputs that land exactly on quantization boundaries."""
+    from kpvid_tpu.eval.server import device_quantize
+
+    edges = np.float32(np.arange(256))[None] / 255.0  # exact k/255 grid
+    eps = np.float32([0.0, 1e-7, -1e-7, 1e-4, -1e-4])[:, None]
+    grid01 = np.clip(edges + eps, 0.0, 1.0).astype(np.float32)
+    rand = rng.uniform(-1.2, 1.2, (4, 257)).astype(np.float32)
+    for x, rescale in ((grid01 * 2 - 1, True), (rand, True), (grid01, False)):
+        np.testing.assert_array_equal(
+            np.asarray(device_quantize(jnp.asarray(x), rescale=rescale)),
+            to_uint8(x, rescale=rescale),
+        )
 
 
 def test_overload_rejects(engine, rng):
