@@ -149,15 +149,27 @@ class InferenceEngine:
             "future_points": out["future_points"].astype(jnp.float32),
         }
 
+    def dispatch(self, images: np.ndarray, actions: np.ndarray, z: np.ndarray) -> dict:
+        """Async half: enqueue the jitted serving program, return DEVICE
+        arrays immediately (no sync). Pair with :meth:`fetch`; the
+        MicroBatcher uses the split to overlap batch N's compute with
+        batch N-1's device->host readback."""
+        act = np.zeros((actions.shape[0], self.n_action), np.float32)
+        act[np.arange(actions.shape[0]), actions] = 1.0
+        return self._jit_serve(self.s1_vars, self.s2_params, images, act, z)
+
+    @staticmethod
+    def fetch(out: dict) -> dict:
+        """Blocking half: device arrays -> host numpy. np.asarray is the
+        hard sync (jax.block_until_ready is unreliable under the axon
+        tunnel — CLAUDE.md); never drop a dispatched batch without
+        fetching it, the tunnel backlogs."""
+        return {k: np.asarray(jax.device_get(v)) for k, v in out.items()}
+
     def run(self, images: np.ndarray, actions: np.ndarray, z: np.ndarray) -> dict:
         """images [B,S,S,3] f32 in [-1,1]; actions [B] int; z [B,vae_dim].
         Returns pred_im_seq/mask as uint8, points as f32."""
-        act = np.zeros((actions.shape[0], self.n_action), np.float32)
-        act[np.arange(actions.shape[0]), actions] = 1.0
-        out = self._jit_serve(self.s1_vars, self.s2_params, images, act, z)
-        # one blocking readback; jax.block_until_ready is unreliable under
-        # the axon tunnel (CLAUDE.md), np.asarray is the hard sync
-        return {k: np.asarray(jax.device_get(v)) for k, v in out.items()}
+        return self.fetch(self.dispatch(images, actions, z))
 
 
 @dataclass
@@ -179,6 +191,15 @@ class MicroBatcher:
     Future with its own slice. Pad rows are zeros (image, one-hot, z) and
     are computed-then-discarded; with inference-mode BN there is no
     cross-row coupling, so padding changes nothing but the program shape.
+
+    **Depth-1 dispatch pipeline** (``pipeline=True``, default): under
+    sustained load the dispatcher enqueues batch N on the device BEFORE
+    reading back batch N-1, so N's TPU compute overlaps N-1's
+    device->host transfer + future completion (the daemon's dominant
+    non-compute cost; measured in docs/PERF.md "Serving daemon"). When
+    the queue goes idle the in-flight batch is drained immediately, so a
+    singleton request sees no added latency. Outputs are identical
+    either way — pipelining only reorders host-side waits.
     """
 
     def __init__(
@@ -187,10 +208,12 @@ class MicroBatcher:
         buckets: tuple[int, ...] = DEFAULT_BUCKETS,
         max_wait_ms: float = 5.0,
         max_queue: int = 256,
+        pipeline: bool = True,
     ):
         if not buckets or any(b <= 0 for b in buckets):
             raise ValueError(f"buckets must be positive, got {buckets}")
         self.engine = engine
+        self.pipeline = pipeline
         self.buckets = tuple(sorted(set(buckets)))
         self.max_batch = self.buckets[-1]
         self.max_wait = max_wait_ms / 1000.0
@@ -290,18 +313,35 @@ class MicroBatcher:
         return batch
 
     def _loop(self):
+        inflight: tuple[list[_Pending], dict] | None = None
         while True:
+            # idle queue: drain the in-flight batch NOW so its requesters
+            # aren't held hostage to the next arrival
+            if inflight is not None and self._q.empty():
+                self._finish(*inflight)
+                inflight = None
             batch = self._collect()
             if batch is None:
+                if inflight is not None:
+                    self._finish(*inflight)
                 return
             try:
-                self._run_batch(batch)
+                out = self._dispatch(batch)
             except Exception as exc:  # engine failure -> fail the requests, keep serving
                 for p in batch:
                     if not p.future.done():
                         p.future.set_exception(exc)
+                continue
+            # batch N is now on the device; reading back N-1 overlaps it
+            if inflight is not None:
+                self._finish(*inflight)
+                inflight = None
+            if self.pipeline:
+                inflight = (batch, out)
+            else:
+                self._finish(batch, out)
 
-    def _run_batch(self, batch: list[_Pending]):
+    def _dispatch(self, batch: list[_Pending]) -> dict:
         n = len(batch)
         b = self._bucket_for(n)
         s = self.engine.image_size
@@ -312,12 +352,24 @@ class MicroBatcher:
             images[i] = p.image
             actions[i] = p.action
             z[i] = p.z
-        out = self.engine.run(images, actions, z)
-        now = time.monotonic()
         with self._stats_lock:
             self.batches_total += 1
             self.rows_total += n
             self.padded_rows_total += b - n
+        return self.engine.dispatch(images, actions, z)
+
+    def _finish(self, batch: list[_Pending], device_out: dict):
+        """Blocking readback of a dispatched batch -> complete its futures.
+        A fetch failure fails exactly this batch's requests."""
+        try:
+            out = self.engine.fetch(device_out)
+        except Exception as exc:  # noqa: BLE001 — surface to the requesters
+            for p in batch:
+                if not p.future.done():
+                    p.future.set_exception(exc)
+            return
+        now = time.monotonic()
+        with self._stats_lock:
             for p in batch:
                 self._latencies_ms.append((now - p.enqueued_at) * 1000.0)
         for i, p in enumerate(batch):
@@ -456,11 +508,13 @@ def make_server(
     max_queue: int = 256,
     warmup: bool = False,
     quiet: bool = True,
+    pipeline: bool = True,
 ) -> tuple[ThreadingHTTPServer, MicroBatcher]:
     """Wire a MicroBatcher + HTTP server around an engine. The caller owns
     serve_forever() (usually on a thread) and shutdown ordering:
     server.shutdown() then batcher.stop()."""
-    batcher = MicroBatcher(engine, buckets=buckets, max_wait_ms=max_wait_ms, max_queue=max_queue)
+    batcher = MicroBatcher(engine, buckets=buckets, max_wait_ms=max_wait_ms,
+                           max_queue=max_queue, pipeline=pipeline)
     if warmup:
         batcher.warmup()
     handler = type("BoundHandler", (_Handler,), {

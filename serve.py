@@ -49,6 +49,10 @@ def main():
                         help="pending-request bound; beyond it requests get 503")
     parser.add_argument("--no_warmup", action="store_true",
                         help="skip compiling all buckets before binding the port")
+    parser.add_argument("--no_pipeline", action="store_true",
+                        help="disable the depth-1 dispatch pipeline (overlap "
+                             "of batch N compute with batch N-1 readback); "
+                             "outputs are identical either way")
     parser.add_argument("--verbose", action="store_true",
                         help="log one line per HTTP request")
     args = parser.parse_args()
@@ -90,6 +94,7 @@ def main():
         engine, host=args.host, port=args.port, buckets=buckets,
         max_wait_ms=args.max_wait_ms, max_queue=args.max_queue,
         warmup=not args.no_warmup, quiet=not args.verbose,
+        pipeline=not args.no_pipeline,
     )
     logger.info("serving on http://%s:%d (POST /v1/generate)", args.host, args.port)
 

@@ -221,6 +221,51 @@ def test_device_quantize_matches_host(rng):
         )
 
 
+def test_pipeline_matches_unpipelined(engine, rng):
+    """Depth-1 dispatch pipelining (overlap batch N compute with N-1
+    readback) reorders host waits only: a back-to-back request stream
+    produces bit-identical outputs with pipeline on and off, and every
+    future completes without needing further traffic (idle drain)."""
+    n = 6
+    images = _images(rng, n)
+    zs = [request_z(100 + i, engine.vae_dim) for i in range(n)]
+    actions = [i % 5 for i in range(n)]
+
+    results = {}
+    for pipelined in (False, True):
+        batcher = MicroBatcher(
+            engine, buckets=(2,), max_wait_ms=0.0, pipeline=pipelined
+        )
+        try:
+            futs = [batcher.submit(images[i], actions[i], zs[i]) for i in range(n)]
+            results[pipelined] = [f.result(timeout=120) for f in futs]
+        finally:
+            batcher.stop()
+        assert batcher.stats()["batches_total"] >= 2  # several dispatches
+
+    for a, b in zip(results[False], results[True]):
+        np.testing.assert_array_equal(a["pred_im_seq"], b["pred_im_seq"])
+        np.testing.assert_array_equal(a["mask"], b["mask"])
+        np.testing.assert_array_equal(a["future_points"], b["future_points"])
+
+
+def test_pipeline_idle_drain_is_prompt(engine, rng):
+    """With pipelining on, a single request is drained as soon as the
+    queue goes idle — it never waits for a successor batch."""
+    image = _images(rng, 1)[0]
+    z = request_z(3, engine.vae_dim)
+    batcher = MicroBatcher(engine, buckets=(1,), max_wait_ms=0.0, pipeline=True)
+    try:
+        batcher.warmup()  # compile outside the timed window
+        t0 = time.monotonic()
+        out = batcher.submit(image, 0, z).result(timeout=30)
+        dt = time.monotonic() - t0
+    finally:
+        batcher.stop()
+    assert out["pred_im_seq"].dtype == np.uint8
+    assert dt < 20.0  # completes on its own, no successor traffic needed
+
+
 def test_overload_rejects(engine, rng):
     """Queue bound -> queue.Full for callers (HTTP maps it to 503)."""
     import queue as _q
