@@ -26,6 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as flax_nn
 
+from ..ops import deinterleave_pair, interleave_pair
+
 # (name, out_channels, followed_by_pool)
 VGG19_LAYOUT = (
     ("conv1_1", 64, False),
@@ -121,10 +123,12 @@ def perceptual_loss(
     dtype: Any = jnp.float32,
 ) -> jax.Array:
     """Mean over 5 tap layers of mean |feat_gt - feat_pred| (f32)."""
-    both = jnp.concatenate([gt_0_255, pred_0_255], axis=0)
+    # interleaved 2B rows: shard-aligned under a batch-sharded mesh
+    # (ops/batching.py); VGG is row-independent so taps are bit-identical
+    both = interleave_pair(gt_0_255, pred_0_255)
     feats = vgg19_features(params, both, dtype=dtype)
     losses = []
     for f in feats:
-        f_gt, f_pred = jnp.split(f.astype(jnp.float32), 2, axis=0)
+        f_gt, f_pred = deinterleave_pair(f.astype(jnp.float32))
         losses.append(jnp.mean(jnp.abs(f_gt - f_pred)))
     return jnp.mean(jnp.stack(losses))

@@ -30,7 +30,13 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops import heatmaps_to_keypoints, render_gaussian_maps, upsample2x
+from ..ops import (
+    deinterleave_pair,
+    heatmaps_to_keypoints,
+    interleave_pair,
+    render_gaussian_maps,
+    upsample2x,
+)
 from .layers import BatchNorm, Conv, Dense, StackedLSTM, conv_bn_relu
 
 Dtype = Any
@@ -302,9 +308,12 @@ class Stage1Generator(nn.Module):
     def __call__(self, im: jax.Array, future_im: jax.Array, train: bool) -> dict:
         b = im.shape[0]
         embeddings = self.image_encoder(im, train)
-        both = jnp.concatenate([im, future_im], axis=0)
+        # one 2B pose-encoder batch (shared weights + shared BN batch stats,
+        # reference detector_translator_model.py:163-166) in INTERLEAVED row
+        # order: shard-aligned under a batch-sharded mesh (see ops/batching).
+        both = interleave_pair(im, future_im)
         mu_both = self.pose_encoder(both, train)
-        current_mu, future_mu = mu_both[:b], mu_both[b:]
+        current_mu, future_mu = deinterleave_pair(mu_both)
 
         hs = self.heatmap_size
         current_map = render_gaussian_maps(current_mu, hs, hs, self.heatmap_inv_std)

@@ -1,3 +1,4 @@
+from .batching import deinterleave_pair, interleave_pair
 from .coords import (
     blend,
     colorize_point_maps,
@@ -9,6 +10,8 @@ from .resize import upsample2x
 
 __all__ = [
     "blend",
+    "deinterleave_pair",
+    "interleave_pair",
     "colorize_point_maps",
     "heatmaps_to_keypoints",
     "render_gaussian_maps",

@@ -42,6 +42,7 @@ from ..losses import (
     perceptual_loss,
 )
 from ..models import ImageDiscriminator, Stage1Generator
+from ..ops import deinterleave_pair, interleave_pair
 from .state import GANTrainState, make_lr_schedule, make_optimizer
 
 
@@ -115,9 +116,12 @@ class Stage1Trainer:
         return out, batch_stats
 
     def _d_logits(self, d_params, real, fake):
-        both = jnp.concatenate([real, fake], axis=0)
+        # one 2B discriminator batch, interleaved rows: shard-aligned under
+        # a batch-sharded mesh (ops/batching.py); per-row logits identical
+        # to the concat form (no cross-batch ops in the discriminator)
+        both = interleave_pair(real, fake)
         logits = self.discriminator.apply({"params": d_params}, both)
-        return jnp.split(logits, 2, axis=0)
+        return deinterleave_pair(logits)
 
     def _d_update(self, state: GANTrainState, real, fake):
         def d_loss_fn(d_params):

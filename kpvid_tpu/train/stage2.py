@@ -23,6 +23,7 @@ from ..losses import (
     seq_recon_loss,
 )
 from ..models import MotionGenerator, SeqDiscriminator
+from ..ops import deinterleave_pair, interleave_pair
 from .state import GANTrainState, make_lr_schedule, make_optimizer
 
 
@@ -94,9 +95,10 @@ class Stage2Trainer:
 
     def _d_update(self, state: GANTrainState, real_seq, pred_seq):
         def d_loss_fn(d_params):
-            both = jnp.concatenate([real_seq, jax.lax.stop_gradient(pred_seq)], axis=0)
+            # interleaved 2B rows: shard-aligned under a batch-sharded mesh
+            both = interleave_pair(real_seq, jax.lax.stop_gradient(pred_seq))
             logits = self.discriminator.apply({"params": d_params}, both)
-            real_logit, fake_logit = jnp.split(logits, 2, axis=0)
+            real_logit, fake_logit = deinterleave_pair(logits)
             loss, d_real, d_fake = discriminator_loss(real_logit, fake_logit)
             return loss, (d_real, d_fake)
 
@@ -187,9 +189,9 @@ class Stage2Trainer:
         pred_seq, mu, stddev = self.generator.apply(
             {"params": state.g_params}, real_seq, first_pt, act, noise
         )
-        both = jnp.concatenate([real_seq, pred_seq], axis=0)
+        both = interleave_pair(real_seq, pred_seq)
         logits = self.discriminator.apply({"params": state.d_params}, both)
-        real_logit, fake_logit = jnp.split(logits, 2, axis=0)
+        real_logit, fake_logit = deinterleave_pair(logits)
         loss_d, d_real, d_fake = discriminator_loss(real_logit, fake_logit)
         recon = seq_recon_loss(pred_seq, real_seq)
         kl = kl_raw_sigma(mu, stddev)
