@@ -105,6 +105,7 @@ class ModelConfig:
     encoder_filters: int = 32
     translator_filters: int = 256  # networks/__init__.py:75
     pose_decoder_filters: int = 128  # networks/__init__.py:36
+    discriminator_filters: int = 64  # PatchGAN base width, networks/__init__.py:141
     # 2x upsample formulation in the translator — purely a speed knob
     # (ops/resize.py; measured in docs/PERF.md):
     # 'tf1'    elementwise interleave (training default),

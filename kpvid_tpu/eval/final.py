@@ -64,6 +64,9 @@ class FinalGenerator:
             n_pts=m.n_pts,
             heatmap_size=m.heatmap_size,
             heatmap_inv_std=m.heatmap_inv_std,
+            encoder_filters=m.encoder_filters,
+            translator_filters=m.translator_filters,
+            pose_decoder_filters=m.pose_decoder_filters,
             dtype=self.dtype,
             upsample_mode=upsample_mode,
             conv_backend=conv_backend,

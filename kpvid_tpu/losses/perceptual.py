@@ -62,14 +62,23 @@ def load_vgg19_params(path: str) -> dict[str, dict[str, np.ndarray]]:
     }
 
 
-def synthesize_vgg19_params(seed: int = 0) -> dict[str, dict[str, np.ndarray]]:
+def synthesize_vgg19_params(
+    seed: int = 0, max_width: int | None = None
+) -> dict[str, dict[str, np.ndarray]]:
     """Deterministic random VGG19 weights for environments without
     vgg19.npy (tests, benches). Shapes identical to the real file; He-scaled
-    so activations neither explode nor vanish."""
+    so activations neither explode nor vanish.
+
+    max_width clamps every layer's channel count (vgg19_features derives
+    widths from the param shapes, so the tower stays structurally VGG19) —
+    used by size-constrained smoke paths like the multichip dryrun, where
+    the full-width tower would dominate the tiny-step runtime."""
     rng = np.random.default_rng(seed)
     params = {}
     in_ch = 3
     for name, out_ch, _ in VGG19_LAYOUT:
+        if max_width is not None:
+            out_ch = min(out_ch, max_width)
         fan_in = 3 * 3 * in_ch
         params[name] = {
             "kernel": rng.normal(0, np.sqrt(2.0 / fan_in), (3, 3, in_ch, out_ch)).astype(

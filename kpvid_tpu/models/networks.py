@@ -94,6 +94,7 @@ class PoseEncoder(nn.Module):
 
     n_pts: int
     filters: int = 128
+    trunk_filters: int = 32
     dtype: Dtype = jnp.float32
     # 'tf1' (training default) or 'fused': each 2x upsample folds into the
     # next octave's first conv, with the skip-concat handled by kernel
@@ -104,7 +105,7 @@ class PoseEncoder(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool, return_raw_maps: bool = False):
         final_res = x.shape[1]
-        feats = ConvEncoder(dtype=self.dtype, name="trunk")(x, train)
+        feats = ConvEncoder(self.trunk_filters, self.dtype, name="trunk")(x, train)
         x = feats[-1]
         f = self.filters
         octave = 0
@@ -259,13 +260,14 @@ class Translator(nn.Module):
 class ImageDiscriminator(nn.Module):
     """PatchGAN: 6x [pad1 + conv4s2], channels 64->2048, leaky-ReLU 0.01,
     then pad1 + conv3s1 -> 1 logit map, no bias
-    (reference models/networks/__init__.py:141-151)."""
+    (reference models/networks/__init__.py:141-151; base width 64)."""
 
+    filters: int = 64
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        ch = 64
+        ch = self.filters
         x = Conv(ch, 4, 2, pad=1, dtype=self.dtype, name="conv0")(x)
         x = nn.leaky_relu(x, 0.01)
         for i in range(1, 6):
@@ -287,20 +289,28 @@ class Stage1Generator(nn.Module):
     n_pts: int
     heatmap_size: int = 32
     heatmap_inv_std: float = 14.3
+    # network widths (config: model.encoder_filters / translator_filters /
+    # pose_decoder_filters; defaults = the reference's fixed sizes)
+    encoder_filters: int = 32
+    translator_filters: int = 256
+    pose_decoder_filters: int = 128
     dtype: Dtype = jnp.float32
     upsample_mode: str = "tf1"  # serving passes 'matmul' (see Translator)
     conv_backend: str = "xla"  # serving may pass 'pallas' (see Translator)
 
     def setup(self):
-        self.image_encoder = ImageEncoder(dtype=self.dtype)
+        self.image_encoder = ImageEncoder(self.encoder_filters, dtype=self.dtype)
         # the pose encoder only distinguishes 'fused' (its skip decoder
         # folds upsamples into the next conv); 'matmul' there would change
         # nothing material, so it maps to the interleave form
         pe_mode = "fused" if self.upsample_mode == "fused" else "tf1"
         self.pose_encoder = PoseEncoder(
-            self.n_pts, dtype=self.dtype, upsample_mode=pe_mode
+            self.n_pts, filters=self.pose_decoder_filters,
+            trunk_filters=self.encoder_filters,
+            dtype=self.dtype, upsample_mode=pe_mode,
         )
         self.translator = Translator(
+            filters=self.translator_filters,
             dtype=self.dtype, upsample_mode=self.upsample_mode,
             conv_backend=self.conv_backend,
         )

@@ -65,10 +65,15 @@ class Stage1Trainer:
             n_pts=m.n_pts,
             heatmap_size=m.heatmap_size,
             heatmap_inv_std=m.heatmap_inv_std,
+            encoder_filters=m.encoder_filters,
+            translator_filters=m.translator_filters,
+            pose_decoder_filters=m.pose_decoder_filters,
             dtype=self.dtype,
             upsample_mode=m.upsample_mode,
         )
-        self.discriminator = ImageDiscriminator(dtype=self.dtype)
+        self.discriminator = ImageDiscriminator(
+            filters=m.discriminator_filters, dtype=self.dtype
+        )
         self.vgg_params = jax.tree.map(jnp.asarray, vgg_params)
         self.g_opt = make_optimizer(config.training.lr)
         self.d_opt = make_optimizer(config.training.lr)

@@ -80,6 +80,9 @@ def main():
         n_pts=m_cfg.n_pts,
         heatmap_size=m_cfg.heatmap_size,
         heatmap_inv_std=m_cfg.heatmap_inv_std,
+        encoder_filters=m_cfg.encoder_filters,
+        translator_filters=m_cfg.translator_filters,
+        pose_decoder_filters=m_cfg.pose_decoder_filters,
         dtype=dtype,
         # inference-only job: fold the pose decoder's upsamples into their
         # following convs (exact; same params/checkpoints — docs/PERF.md)

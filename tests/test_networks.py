@@ -269,3 +269,53 @@ def test_bf16_compute(rng, dtype):
     assert out["mask"].dtype == jnp.float32
     leaves = jax.tree.leaves(variables["params"])
     assert all(l.dtype == jnp.float32 for l in leaves)
+
+
+class TestConfigWidths:
+    """The model.*_filters config fields must actually change the networks
+    (they were once declared but unwired — caught in round 4). Defaults
+    keep the exact reference sizes, so checkpoints are unaffected."""
+
+    def test_width_fields_are_wired(self):
+        import jax
+
+        from kpvid_tpu.configs import Config, ModelConfig, TrainingConfig
+        from kpvid_tpu.losses import synthesize_vgg19_params
+        from kpvid_tpu.train.stage1 import Stage1Trainer
+
+        cfg = Config(
+            model=ModelConfig(
+                n_pts=4, n_action=4, cell_info=(16, 16), vae_dim=8,
+                image_size=16, heatmap_size=4, n_future_frames=4,
+                encoder_filters=8, translator_filters=16,
+                pose_decoder_filters=16, discriminator_filters=8,
+            ),
+            training=TrainingConfig(batch_size=2, compute_dtype="float32"),
+        ).validate()
+        tr = Stage1Trainer(cfg, synthesize_vgg19_params(max_width=16))
+        state = tr.init_state(jax.random.PRNGKey(0))
+        p = state.g_params
+        assert p["image_encoder"]["trunk"]["in0_conv"]["Conv_0"]["kernel"].shape[-1] == 8
+        assert p["translator"]["oct0a_conv"]["Conv_0"]["kernel"].shape[-1] == 16
+        assert p["pose_encoder"]["dec0a_conv"]["Conv_0"]["kernel"].shape[-1] == 16
+        assert p["pose_encoder"]["trunk"]["in0_conv"]["Conv_0"]["kernel"].shape[-1] == 8
+        assert state.d_params["conv0"]["Conv_0"]["kernel"].shape[-1] == 8
+
+    def test_default_widths_match_reference(self):
+        import jax
+
+        from kpvid_tpu.models import ImageDiscriminator, Stage1Generator
+
+        g = Stage1Generator(n_pts=2, heatmap_size=4)
+        v = g.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 16, 16, 3)), jnp.zeros((1, 16, 16, 3)), train=False,
+        )
+        p = v["params"]
+        assert p["image_encoder"]["trunk"]["in0_conv"]["Conv_0"]["kernel"].shape[-1] == 32
+        assert p["translator"]["oct0a_conv"]["Conv_0"]["kernel"].shape[-1] == 256
+        assert p["pose_encoder"]["dec0a_conv"]["Conv_0"]["kernel"].shape[-1] == 128
+        d = ImageDiscriminator()
+        dv = d.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+        assert dv["params"]["conv0"]["Conv_0"]["kernel"].shape[-1] == 64
+        assert dv["params"]["conv5"]["Conv_0"]["kernel"].shape[-1] == 2048
