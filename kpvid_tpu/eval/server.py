@@ -130,9 +130,31 @@ class InferenceEngine:
 
     OUTPUT_KEYS = ("pred_im_seq", "mask", "current_points", "future_points")
 
-    def __init__(self, config: Config, stage1_vars: dict, stage2_params: dict):
+    def __init__(
+        self,
+        config: Config,
+        stage1_vars: dict,
+        stage2_params: dict,
+        mesh=None,
+    ):
+        """mesh: optional jax.sharding.Mesh for multi-chip serving — params
+        replicate, request batches shard over the 'data' axis (the
+        batch-parallel layout proven exact in
+        tests/test_parallel.py::test_serving_generate_dp). The MicroBatcher
+        aligns its buckets to the data-axis size so every padded batch
+        divides evenly."""
         self.config = config
         self.final = FinalGenerator(config)
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel import batch_sharding, replicate
+
+            stage1_vars = replicate(mesh, stage1_vars)
+            stage2_params = replicate(mesh, stage2_params)
+            self._batch_sharding = batch_sharding(mesh)
+            self.n_data = mesh.shape["data"]
+        else:
+            self.n_data = 1
         self.s1_vars = stage1_vars
         self.s2_params = stage2_params
         self.vae_dim = config.model.vae_dim
@@ -156,6 +178,10 @@ class InferenceEngine:
         batch N-1's device->host readback."""
         act = np.zeros((actions.shape[0], self.n_action), np.float32)
         act[np.arange(actions.shape[0]), actions] = 1.0
+        if self.mesh is not None:
+            images = jax.device_put(images, self._batch_sharding)
+            act = jax.device_put(act, self._batch_sharding)
+            z = jax.device_put(z, self._batch_sharding)
         return self._jit_serve(self.s1_vars, self.s2_params, images, act, z)
 
     @staticmethod
@@ -214,6 +240,11 @@ class MicroBatcher:
             raise ValueError(f"buckets must be positive, got {buckets}")
         self.engine = engine
         self.pipeline = pipeline
+        # mesh-mode engines shard batches over 'data': round every bucket
+        # up to a multiple of the data-axis size (pad rows are free rows —
+        # computed-then-discarded like all bucket padding)
+        n_data = getattr(engine, "n_data", 1)
+        buckets = (-(-b // n_data) * n_data for b in buckets)
         self.buckets = tuple(sorted(set(buckets)))
         self.max_batch = self.buckets[-1]
         self.max_wait = max_wait_ms / 1000.0
@@ -251,6 +282,16 @@ class MicroBatcher:
         self._stopped = True
         self._q.put(None)
         self._thread.join(timeout=timeout)
+        # a submit that passed the _stopped check may have enqueued BEHIND
+        # the sentinel; the loop has exited, so fail those futures now
+        # instead of letting their HTTP handlers hit the request timeout
+        while True:
+            try:
+                p = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if p is not None and not p.future.done():
+                p.future.set_exception(RuntimeError("MicroBatcher is stopped"))
 
     def stats(self) -> dict:
         with self._stats_lock:
@@ -352,11 +393,14 @@ class MicroBatcher:
             images[i] = p.image
             actions[i] = p.action
             z[i] = p.z
+        out = self.engine.dispatch(images, actions, z)
+        # count only successfully dispatched batches (a raising dispatch
+        # must not skew mean_batch_rows / pad_fraction)
         with self._stats_lock:
             self.batches_total += 1
             self.rows_total += n
             self.padded_rows_total += b - n
-        return self.engine.dispatch(images, actions, z)
+        return out
 
     def _finish(self, batch: list[_Pending], device_out: dict):
         """Blocking readback of a dispatched batch -> complete its futures.

@@ -182,6 +182,28 @@ class Stage2Trainer:
         state = state.replace(step=state.step + 1)
         return state, {**d_metrics, **g_metrics, "lr": self.lr_schedule(state.step)}
 
+    def train_step_multi(
+        self, state: GANTrainState, batches: dict, rngs: jax.Array
+    ) -> tuple[GANTrainState, dict]:
+        """K fused steps in ONE dispatch: `lax.scan` of train_step over K
+        pre-stacked batches (every array in `batches` has leading [K, B,
+        ...]; `rngs` is [K] stacked PRNG keys, one per step — the same
+        stream the K-single-step driver would use, so the result is
+        IDENTICAL to K sequential train_step calls; tested in
+        test_train.py).
+
+        Rationale: stage-2 is latency-bound on TPU (sequential LSTM matmul
+        chain, <1% MFU; docs/PERF.md) — per-step dispatch+readback is a
+        real fraction of step time, and scanning K steps amortizes it the
+        same way the serving daemon's depth-1 pipeline does. Metrics come
+        back stacked [K]; the logging driver unstacks them."""
+        def body(st, xs):
+            batch, key = xs
+            st, metrics = self.train_step(st, batch, key)
+            return st, metrics
+
+        return jax.lax.scan(body, state, (batches, rngs))
+
     # ----------------------------------------------------------- evaluation
     def eval_step(self, state: GANTrainState, batch: dict, rng: jax.Array) -> dict:
         first_pt, real_seq, act = self._flatten_batch(batch)
@@ -236,6 +258,10 @@ class Stage2Trainer:
     @functools.cached_property
     def jitted_train_step_two_batch(self):
         return jax.jit(self.train_step_two_batch, donate_argnums=(0,))
+
+    @functools.cached_property
+    def jitted_train_step_multi(self):
+        return jax.jit(self.train_step_multi, donate_argnums=(0,))
 
     @functools.cached_property
     def jitted_eval_step(self):

@@ -55,6 +55,13 @@ def main():
                              "outputs are identical either way")
     parser.add_argument("--verbose", action="store_true",
                         help="log one line per HTTP request")
+    parser.add_argument("--mesh", action="store_true",
+                        help="serve batch-parallel over a pure-DP ('data') "
+                             "mesh spanning all visible devices (params "
+                             "replicated, micro-batches sharded over 'data'; "
+                             "exact — tests/test_parallel.py::"
+                             "test_serving_generate_dp). Bucket sizes round "
+                             "up to multiples of the mesh size.")
     args = parser.parse_args()
 
     from kpvid_tpu.utils.cache import enable_compilation_cache
@@ -86,7 +93,13 @@ def main():
         raise ValueError(f"checkpoint merge matched 0 tensors (stage1={n1}, stage2={n2})")
     logger.info("restored stage1=%d tensors from %s; stage2=%d from %s", n1, ck1, n2, ck2)
 
-    engine = InferenceEngine(config, s1_merged, s2_params)
+    mesh = None
+    if args.mesh:
+        from kpvid_tpu.parallel import make_mesh
+
+        mesh = make_mesh(n_model=1)
+        logger.info("serving over %d-device 'data' mesh", mesh.shape["data"])
+    engine = InferenceEngine(config, s1_merged, s2_params, mesh=mesh)
     buckets = tuple(args.buckets) if args.buckets else DEFAULT_BUCKETS
     if not args.no_warmup:
         logger.info("warming up %d buckets %s ...", len(buckets), list(buckets))

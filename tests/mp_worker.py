@@ -68,6 +68,8 @@ def tiny_config() -> Config:
         model=ModelConfig(
             n_pts=6, n_action=4, cell_info=(32, 32), vae_dim=8,
             image_size=32, heatmap_size=8, n_future_frames=8,
+            encoder_filters=8, translator_filters=16,
+            pose_decoder_filters=16, discriminator_filters=8,
         ),
         training=TrainingConfig(batch_size=GLOBAL_BATCH, compute_dtype="float32"),
     ).validate()
@@ -134,7 +136,7 @@ def main():
     result = {}
 
     # ---- stage 1 -------------------------------------------------------
-    tr1 = Stage1Trainer(cfg, synthesize_vgg19_params())
+    tr1 = Stage1Trainer(cfg, synthesize_vgg19_params(max_width=16))
     state = shard_state(mesh, tr1.init_state(jax.random.PRNGKey(0)), min_shard_dim=64)
     it = make_iter(PairDataset(), mesh)
     batch = next(it)

@@ -30,7 +30,8 @@ def run(args, n_devices: int | None = None):
     # mesh-mode CLI runs are covered by the parallel equivalence tests +
     # the multichip dryrun. n_devices: opt back in to a virtual multi-
     # device CPU for --mesh CLI runs.
-    env = dict(os.environ, JAX_PLATFORMS="cpu", KPVID_PLATFORM="cpu")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", KPVID_PLATFORM="cpu",
+               KPVID_SYNTH_VGG_WIDTH="16")
     env.pop("XLA_FLAGS", None)
     if n_devices:
         env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n_devices}"
@@ -71,6 +72,10 @@ model:
   vae_dim: 16
   image_size: 32
   heatmap_size: 8
+  encoder_filters: 8
+  translator_filters: 16
+  pose_decoder_filters: 16
+  discriminator_filters: 8
 data:
   num_workers: 2
   labeler_chunk: 32
@@ -123,6 +128,7 @@ def test_stage2_train_cli_miniature(mini_stage2):
     assert list(mini_stage2.glob("*.jsonl")), "stage-2 metric logs not written"
 
 
+@pytest.mark.slow
 def test_labeler_two_process_matches_single(mini_env, mini_labels):
     """Multi-host pseudo-labeling: two coordinated processes (strided
     video shards, shared output dir, coordination barriers, no
@@ -155,6 +161,7 @@ def test_labeler_two_process_matches_single(mini_env, mini_labels):
         np.testing.assert_array_equal(got[name], want[name], err_msg=name)
 
 
+@pytest.mark.slow
 def test_train_two_process_cli(mini_env):
     """Multi-host training through the REAL train.py CLI: 2 coordinated
     processes (1 CPU device each -> the 2-device 'data' mesh), per-host
@@ -200,6 +207,7 @@ def test_evaluate_cli_miniature(mini_env, mini_stage2):
         assert len(list((sample / sub).glob("*.png"))) == 32, sub
 
 
+@pytest.mark.slow
 def test_evaluate_png_workers_identical(mini_env, mini_stage2):
     """The threaded PNG writer (--png-workers) produces a byte-identical
     tree to the serial one."""
@@ -219,6 +227,7 @@ def test_evaluate_png_workers_identical(mini_env, mini_stage2):
             (mini_env / "evalP1" / rel).read_bytes(), rel
 
 
+@pytest.mark.slow
 def test_evaluate_two_process_matches_single(mini_env, mini_stage2):
     """Multi-host evaluate: two coordinated processes (batch-aligned test
     shards, per-batch fold_in z keys, shared save_dir) write a PNG tree
@@ -261,7 +270,8 @@ def test_serve_cli_miniature(mini_env, mini_stage2):
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
-    env = dict(os.environ, JAX_PLATFORMS="cpu", KPVID_PLATFORM="cpu")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", KPVID_PLATFORM="cpu",
+               KPVID_SYNTH_VGG_WIDTH="16")
     env.pop("XLA_FLAGS", None)
     proc = subprocess.Popen(
         [sys.executable, "serve.py", "--config", str(mini_env / "cfg.yaml"),
@@ -328,6 +338,10 @@ model:
   vae_dim: 16
   image_size: 32
   heatmap_size: 8
+  encoder_filters: 8
+  translator_filters: 16
+  pose_decoder_filters: 16
+  discriminator_filters: 8
 data:
   num_workers: 2
   labeler_chunk: 32

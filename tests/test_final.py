@@ -16,6 +16,8 @@ def final():
         model=ModelConfig(
             n_pts=4, n_action=5, cell_info=(16, 16), vae_dim=8,
             image_size=32, heatmap_size=8, n_future_frames=6,
+            encoder_filters=8, translator_filters=16,
+            pose_decoder_filters=16, discriminator_filters=8,
         ),
         training=TrainingConfig(batch_size=2, compute_dtype="float32"),
     ).validate()
@@ -76,8 +78,13 @@ def test_split_first_conv_exact(final, rng):
     im = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)), jnp.float32)
     act = jax.nn.one_hot(jnp.asarray([0, 4]), 5)
     key = jax.random.PRNGKey(11)
-    fast = gen.generate(s1_vars, s2_vars["params"], im, act, key, split_first_conv=True)
-    slow = gen.generate(s1_vars, s2_vars["params"], im, act, key, split_first_conv=False)
+    # jit: one cacheable program per path instead of eager per-op compiles
+    fast = jax.jit(lambda *a: gen.generate(*a, split_first_conv=True))(
+        s1_vars, s2_vars["params"], im, act, key
+    )
+    slow = jax.jit(lambda *a: gen.generate(*a, split_first_conv=False))(
+        s1_vars, s2_vars["params"], im, act, key
+    )
     np.testing.assert_allclose(
         np.asarray(fast["pred_im_seq"]), np.asarray(slow["pred_im_seq"]),
         rtol=1e-4, atol=1e-5,
@@ -87,6 +94,7 @@ def test_split_first_conv_exact(final, rng):
     )
 
 
+@pytest.mark.slow
 def test_conv_backend_pallas_matches_xla(final, rng):
     """conv_backend='pallas' (fused strip-matmul conv+BN+relu for the
     translator's MXU-deep 3x3 blocks, ops/pallas_conv.py) reproduces the
@@ -111,6 +119,7 @@ def test_conv_backend_pallas_matches_xla(final, rng):
         )
 
 
+@pytest.mark.slow
 def test_conv_backend_pallas_chain_matches_xla(final, rng):
     """conv_backend='pallas_chain' (the whole decode — every conv, both
     up2 folds, the packed final octave, and the fused heads — as one
@@ -142,8 +151,12 @@ def test_fused_heads_exact(final, rng):
     im = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)), jnp.float32)
     act = jax.nn.one_hot(jnp.asarray([2, 1]), 5)
     key = jax.random.PRNGKey(13)
-    fused = gen.generate(s1_vars, s2_vars["params"], im, act, key, fuse_heads=True)
-    plain = gen.generate(s1_vars, s2_vars["params"], im, act, key, fuse_heads=False)
+    fused = jax.jit(lambda *a: gen.generate(*a, fuse_heads=True))(
+        s1_vars, s2_vars["params"], im, act, key
+    )
+    plain = jax.jit(lambda *a: gen.generate(*a, fuse_heads=False))(
+        s1_vars, s2_vars["params"], im, act, key
+    )
     for name in ("pred_im_seq", "pred_im_crude", "mask"):
         np.testing.assert_allclose(
             np.asarray(fused[name]), np.asarray(plain[name]), rtol=1e-6, atol=1e-7

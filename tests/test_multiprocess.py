@@ -19,6 +19,8 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute 2-process runs; `pytest -m slow`
+
 from mp_launch import run_coordinated
 
 REPO = Path(__file__).resolve().parent.parent

@@ -20,8 +20,16 @@ from kpvid_tpu.models.layers import StackedLSTM
 
 
 def init_and_apply(module, *args, method=None, **kwargs):
-    variables = module.init(jax.random.PRNGKey(0), *args, method=method, **kwargs)
-    out = module.apply(variables, *args, method=method, mutable=False, **kwargs)
+    # jit both halves: ONE cacheable program each instead of hundreds of
+    # eager per-op compiles (those fall below the persistent cache's 1s
+    # threshold and would be re-paid on EVERY suite run — the dominant
+    # fast-tier cost on this 1-core host)
+    variables = jax.jit(
+        lambda r: module.init(r, *args, method=method, **kwargs)
+    )(jax.random.PRNGKey(0))
+    out = jax.jit(
+        lambda v: module.apply(v, *args, method=method, mutable=False, **kwargs)
+    )(variables)
     return out, variables
 
 
@@ -48,14 +56,17 @@ class TestConvTrunk:
 class TestPoseEncoder:
     def test_keypoints_shape_and_range(self, rng):
         x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
-        mu, _ = init_and_apply(PoseEncoder(n_pts=7), x, train=False)
+        mu, _ = init_and_apply(
+            PoseEncoder(n_pts=7, filters=16, trunk_filters=8), x, train=False
+        )
         assert mu.shape == (2, 7, 2)
         assert np.all(np.abs(np.asarray(mu)) <= 1.0)
 
     def test_raw_maps(self, rng):
         x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)), jnp.float32)
         (mu, raw), _ = init_and_apply(
-            PoseEncoder(n_pts=5), x, train=False, return_raw_maps=True
+            PoseEncoder(n_pts=5, filters=16, trunk_filters=8),
+            x, train=False, return_raw_maps=True,
         )
         assert raw.shape == (1, 64, 64, 5)
 
@@ -78,7 +89,9 @@ class TestPoseEncoder:
 class TestTranslator:
     def test_outputs(self, rng):
         x = jnp.asarray(rng.normal(size=(2, 16, 16, 142)), jnp.float32)
-        (crude, mask), _ = init_and_apply(Translator(final_res=64), x, train=False)
+        (crude, mask), _ = init_and_apply(
+            Translator(final_res=64, filters=32), x, train=False
+        )
         assert crude.shape == (2, 64, 64, 3)
         assert mask.shape == (2, 64, 64, 1)
         m = np.asarray(mask)
@@ -93,19 +106,26 @@ class TestPoseEncoderUpsampleModes:
         from kpvid_tpu.models.networks import PoseEncoder
 
         x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)), jnp.float32)
-        base = PoseEncoder(n_pts=5)
-        variables = base.init(jax.random.PRNGKey(0), x, train=False)
-        mu0, raw0 = base.apply(
-            variables, x, train=False, return_raw_maps=True, mutable=False
+        base = PoseEncoder(n_pts=5, filters=16, trunk_filters=8)
+        variables = jax.jit(lambda r: base.init(r, x, train=False))(
+            jax.random.PRNGKey(0)
         )
-        fused = PoseEncoder(n_pts=5, upsample_mode="fused")
+        mu0, raw0 = jax.jit(lambda v: base.apply(
+            v, x, train=False, return_raw_maps=True, mutable=False
+        ))(variables)
+        fused = PoseEncoder(
+            n_pts=5, filters=16, trunk_filters=8, upsample_mode="fused"
+        )
         assert (
-            jax.tree_util.tree_structure(fused.init(jax.random.PRNGKey(0), x, train=False))
+            jax.tree_util.tree_structure(
+                jax.eval_shape(lambda r: fused.init(r, x, train=False),
+                               jax.random.PRNGKey(0))
+            )
             == jax.tree_util.tree_structure(variables)
         )
-        mu1, raw1 = fused.apply(
-            variables, x, train=False, return_raw_maps=True, mutable=False
-        )
+        mu1, raw1 = jax.jit(lambda v: fused.apply(
+            v, x, train=False, return_raw_maps=True, mutable=False
+        ))(variables)
         np.testing.assert_allclose(np.asarray(raw1), np.asarray(raw0), rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(mu1), np.asarray(mu0), rtol=1e-4, atol=1e-6)
 
@@ -116,16 +136,25 @@ class TestTranslatorUpsampleModes:
         params (the fused mode folds each upsample into the next conv;
         exact incl. borders). Param trees are identical across modes."""
         x = jnp.asarray(rng.normal(size=(2, 16, 16, 142)), jnp.float32)
-        base = Translator(final_res=64)
-        variables = base.init(jax.random.PRNGKey(0), x, train=False)
-        crude0, mask0 = base.apply(variables, x, train=False, mutable=False)
+        base = Translator(final_res=64, filters=32)
+        variables = jax.jit(lambda r: base.init(r, x, train=False))(
+            jax.random.PRNGKey(0)
+        )
+        crude0, mask0 = jax.jit(
+            lambda v: base.apply(v, x, train=False, mutable=False)
+        )(variables)
         for mode in ("matmul", "fused"):
-            t = Translator(final_res=64, upsample_mode=mode)
+            t = Translator(final_res=64, filters=32, upsample_mode=mode)
             assert (
-                jax.tree_util.tree_structure(t.init(jax.random.PRNGKey(0), x, train=False))
+                jax.tree_util.tree_structure(
+                    jax.eval_shape(lambda r: t.init(r, x, train=False),
+                                   jax.random.PRNGKey(0))
+                )
                 == jax.tree_util.tree_structure(variables)
             )
-            crude, mask = t.apply(variables, x, train=False, mutable=False)
+            crude, mask = jax.jit(
+                lambda v, m=t: m.apply(v, x, train=False, mutable=False)
+            )(variables)
             np.testing.assert_allclose(
                 np.asarray(crude), np.asarray(crude0), rtol=1e-4, atol=1e-5,
                 err_msg=mode,
@@ -139,7 +168,7 @@ class TestTranslatorUpsampleModes:
 class TestImageDiscriminator:
     def test_patch_logits(self, rng):
         x = jnp.asarray(rng.normal(size=(2, 128, 128, 3)), jnp.float32)
-        logits, _ = init_and_apply(ImageDiscriminator(), x)
+        logits, _ = init_and_apply(ImageDiscriminator(filters=8), x)
         # 128 -pad1,4s2-> 65 -> 34 -> 18 -> 10 -> 6 -> 4 -pad1,3s1-> 6
         assert logits.shape == (2, 6, 6, 1)
 
@@ -212,18 +241,21 @@ class TestMotionGenerator:
 
 @pytest.fixture(scope="module")
 def stage1_small():
-    g = Stage1Generator(n_pts=4, heatmap_size=8)
+    g = Stage1Generator(n_pts=4, heatmap_size=8, encoder_filters=8,
+                        translator_filters=16, pose_decoder_filters=16)
     rng = np.random.default_rng(42)
     im = jnp.asarray(rng.normal(size=(1, 32, 32, 3)), jnp.float32)
     fut = jnp.asarray(rng.normal(size=(1, 32, 32, 3)), jnp.float32)
-    variables = g.init(jax.random.PRNGKey(0), im, fut, train=False)
+    variables = jax.jit(lambda r: g.init(r, im, fut, train=False))(
+        jax.random.PRNGKey(0)
+    )
     return g, variables, im, fut
 
 
 class TestStage1Generator:
     def test_forward(self, stage1_small):
         g, variables, im, fut = stage1_small
-        out = g.apply(variables, im, fut, train=False)
+        out = jax.jit(lambda v: g.apply(v, im, fut, train=False))(variables)
         assert out["final"].shape == (1, 32, 32, 3)
         assert out["crude"].shape == (1, 32, 32, 3)
         assert out["mask"].shape == (1, 32, 32, 1)
@@ -239,8 +271,9 @@ class TestStage1Generator:
         """Swapping (im, future_im) swaps (current_mu, future_mu) — one
         pose encoder, shared weights across both frames."""
         g, variables, im, fut = stage1_small
-        a = g.apply(variables, im, fut, train=False)
-        b = g.apply(variables, fut, im, train=False)
+        fwd = jax.jit(lambda v, x, y: g.apply(v, x, y, train=False))
+        a = fwd(variables, im, fut)
+        b = fwd(variables, fut, im)
         np.testing.assert_allclose(
             np.asarray(a["current_mu"]), np.asarray(b["future_mu"]), rtol=1e-5, atol=1e-6
         )
@@ -251,7 +284,9 @@ class TestStage1Generator:
         rng = np.random.default_rng(3)
         cur_mu = jnp.asarray(rng.uniform(-0.5, 0.5, (1, 4, 2)), jnp.float32)
         fut_seq = jnp.asarray(rng.uniform(-0.5, 0.5, (1, 3, 4, 2)), jnp.float32)
-        out = g.apply(variables, im, cur_mu, fut_seq, method=g.generate)
+        out = jax.jit(
+            lambda v: g.apply(v, im, cur_mu, fut_seq, method=g.generate)
+        )(variables)
         assert out["pred_im_seq"].shape == (1, 3, 32, 32, 3)
         assert out["mask"].shape == (1, 3, 32, 32, 1)
         assert np.all(np.abs(np.asarray(out["pred_im_seq"])) <= 1.0)
@@ -261,10 +296,14 @@ class TestStage1Generator:
 def test_bf16_compute(rng, dtype):
     """Networks run under bf16 compute with f32 params and f32 outputs
     where it matters (keypoints, mask, logits)."""
-    g = Stage1Generator(n_pts=4, heatmap_size=8, dtype=jnp.bfloat16)
+    g = Stage1Generator(n_pts=4, heatmap_size=8, encoder_filters=8,
+                        translator_filters=16, pose_decoder_filters=16,
+                        dtype=jnp.bfloat16)
     im = jnp.asarray(rng.normal(size=(1, 32, 32, 3)), jnp.float32)
-    variables = g.init(jax.random.PRNGKey(0), im, im, train=False)
-    out = g.apply(variables, im, im, train=False)
+    variables = jax.jit(lambda r: g.init(r, im, im, train=False))(
+        jax.random.PRNGKey(0)
+    )
+    out = jax.jit(lambda v: g.apply(v, im, im, train=False))(variables)
     assert out["current_mu"].dtype == jnp.float32
     assert out["mask"].dtype == jnp.float32
     leaves = jax.tree.leaves(variables["params"])
@@ -307,15 +346,19 @@ class TestConfigWidths:
         from kpvid_tpu.models import ImageDiscriminator, Stage1Generator
 
         g = Stage1Generator(n_pts=2, heatmap_size=4)
-        v = g.init(
+        # eval_shape: full-width param SHAPES without paying full-width init
+        v = jax.eval_shape(
+            lambda r: g.init(r, jnp.zeros((1, 16, 16, 3)),
+                             jnp.zeros((1, 16, 16, 3)), train=False),
             jax.random.PRNGKey(0),
-            jnp.zeros((1, 16, 16, 3)), jnp.zeros((1, 16, 16, 3)), train=False,
         )
         p = v["params"]
         assert p["image_encoder"]["trunk"]["in0_conv"]["Conv_0"]["kernel"].shape[-1] == 32
         assert p["translator"]["oct0a_conv"]["Conv_0"]["kernel"].shape[-1] == 256
         assert p["pose_encoder"]["dec0a_conv"]["Conv_0"]["kernel"].shape[-1] == 128
         d = ImageDiscriminator()
-        dv = d.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+        dv = jax.eval_shape(
+            lambda r: d.init(r, jnp.zeros((1, 16, 16, 3))), jax.random.PRNGKey(0)
+        )
         assert dv["params"]["conv0"]["Conv_0"]["kernel"].shape[-1] == 64
         assert dv["params"]["conv5"]["Conv_0"]["kernel"].shape[-1] == 2048

@@ -159,11 +159,12 @@ class TestUpsample:
             x = jnp.asarray(rng.normal(size=(b, h, w, c)).astype(np.float32))
             k = jnp.asarray((rng.normal(size=(3, 3, c, f)) * 0.2).astype(np.float32))
             bias = jnp.asarray(rng.normal(size=(f,)).astype(np.float32))
-            want = jax.lax.conv_general_dilated(
+            # jit both paths: cacheable whole programs, not eager per-op
+            want = jax.jit(lambda x, k, b: jax.lax.conv_general_dilated(
                 upsample2x(x), k, (1, 1), "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            ) + bias
-            got = up2_conv3(x, k, bias)
+            ) + b)(x, k, bias)
+            got = jax.jit(up2_conv3)(x, k, bias)
             np.testing.assert_allclose(
                 np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
             )
@@ -190,8 +191,8 @@ class TestUpsample:
             return jnp.sum(jnp.sin(up2_conv3(x, k)))
 
         for argnum in (0, 1):
-            g_ref = jax.grad(two_step, argnums=argnum)(x, k)
-            g_fused = jax.grad(fused, argnums=argnum)(x, k)
+            g_ref = jax.jit(jax.grad(two_step, argnums=argnum))(x, k)
+            g_fused = jax.jit(jax.grad(fused, argnums=argnum))(x, k)
             np.testing.assert_allclose(
                 np.asarray(g_fused), np.asarray(g_ref), rtol=1e-4, atol=1e-5
             )
@@ -199,11 +200,13 @@ class TestUpsample:
     def test_matmul_mode_matches_tf1(self, rng):
         """The MXU-form upsample (serving path) computes the same stencil:
         exact in f32, <= 1 ulp in bf16 (only accumulation dtype differs)."""
+        import jax
+
         for shape in [(2, 8, 8, 5), (1, 32, 16, 3), (3, 7, 9, 4)]:
             x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
             np.testing.assert_allclose(
-                np.asarray(upsample2x(x, mode="matmul")),
-                np.asarray(upsample2x(x, mode="tf1")),
+                np.asarray(jax.jit(lambda x: upsample2x(x, mode="matmul"))(x)),
+                np.asarray(jax.jit(lambda x: upsample2x(x, mode="tf1"))(x)),
                 rtol=1e-6, atol=1e-6,
             )
             xb = x.astype(jnp.bfloat16)

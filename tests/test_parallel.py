@@ -29,6 +29,10 @@ def _tiny_config(batch_size: int = 8):
             image_size=32,
             heatmap_size=8,
             n_future_frames=8,
+            encoder_filters=8,
+            translator_filters=16,
+            pose_decoder_filters=16,
+            discriminator_filters=8,
         ),
         training=TrainingConfig(batch_size=batch_size, compute_dtype="float32"),
     ).validate()
@@ -150,6 +154,7 @@ class TestDpTpExecution:
         assert sharded["step"].sharding.spec == P()
 
 
+@pytest.mark.slow
 class TestTrainerMeshEquivalence:
     """The REAL production train/eval/serve steps produce the same params
     and metrics on a 4x2 DP+TP mesh as on a single device (pjit preserves
@@ -160,7 +165,7 @@ class TestTrainerMeshEquivalence:
         from kpvid_tpu.train.stage1 import Stage1Trainer
 
         cfg = _tiny_config()
-        trainer = Stage1Trainer(cfg, synthesize_vgg19_params())
+        trainer = Stage1Trainer(cfg, synthesize_vgg19_params(max_width=16))
         state = trainer.init_state(jax.random.PRNGKey(0))
         rng = np.random.default_rng(3)
         batch = {
@@ -170,9 +175,9 @@ class TestTrainerMeshEquivalence:
         ref_state, ref_metrics = jax.jit(trainer.train_step)(
             jax.tree.map(jnp.copy, state), batch
         )
-        # min_shard_dim=64 makes the tiny nets' 64-256 wide kernels actually
+        # min_shard_dim=16 makes the tiny nets' 16-256 wide kernels actually
         # exercise TP (stand-ins for the production 1024+ kernels)
-        state_sh = shard_state(mesh8, state, min_shard_dim=64)
+        state_sh = shard_state(mesh8, state, min_shard_dim=16)
         new_sh, m_sh = jax.jit(trainer.train_step)(state_sh, shard_batch(mesh8, batch))
         lr = cfg.training.lr.start_val
         _assert_tree_close(m_sh, ref_metrics, rtol=1e-4, atol=1e-6)
@@ -208,7 +213,7 @@ class TestTrainerMeshEquivalence:
         ref_state, ref_metrics = jax.jit(trainer.train_step)(
             jax.tree.map(jnp.copy, state), batch, step_rng
         )
-        state_sh = shard_state(mesh8, state, min_shard_dim=64)
+        state_sh = shard_state(mesh8, state, min_shard_dim=16)
         new_sh, m_sh = jax.jit(trainer.train_step)(
             state_sh, shard_batch(mesh8, batch), step_rng
         )

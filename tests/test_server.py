@@ -26,6 +26,8 @@ def engine():
         model=ModelConfig(
             n_pts=4, n_action=5, cell_info=(16, 16), vae_dim=8,
             image_size=32, heatmap_size=8, n_future_frames=6,
+            encoder_filters=8, translator_filters=16,
+            pose_decoder_filters=16, discriminator_filters=8,
         ),
         training=TrainingConfig(batch_size=2, compute_dtype="float32"),
     ).validate()
@@ -282,3 +284,42 @@ def test_overload_rejects(engine, rng):
     finally:
         batcher.stop()
     assert batcher.stats()["rejected_total"] >= 1
+
+
+def test_mesh_engine_matches_single_device(engine, rng):
+    """Multi-chip serving (InferenceEngine(mesh=...)): buckets round up to
+    the data-axis size, and each request's output matches the single-device
+    engine — batch-parallel sharding is exact (the same layout proven in
+    test_parallel.py::test_serving_generate_dp), so batching-invariant
+    determinism carries over."""
+    from kpvid_tpu.parallel import make_mesh
+
+    mesh = make_mesh(n_model=1)  # 8 virtual CPU devices (conftest)
+    mesh_engine = InferenceEngine(
+        engine.config, engine.s1_vars, engine.s2_params, mesh=mesh
+    )
+    assert mesh_engine.n_data == 8
+
+    batcher = MicroBatcher(mesh_engine, buckets=(2, 4), max_wait_ms=400.0)
+    try:
+        # bucket alignment: every bucket is a multiple of the mesh size
+        assert batcher.buckets == (8,)
+        images = _images(rng, 3)
+        zs = [request_z(seed, engine.vae_dim) for seed in (1, 2, 3)]
+        actions = [0, 2, 4]
+        futs = [batcher.submit(images[i], actions[i], zs[i]) for i in range(3)]
+        outs = [f.result(timeout=300) for f in futs]
+    finally:
+        batcher.stop()
+    assert batcher.stats()["batches_total"] == 1
+
+    for i in range(3):
+        solo = engine.run(images[i : i + 1], np.asarray([actions[i]]), zs[i][None])
+        diff = np.abs(
+            outs[i]["pred_im_seq"].astype(np.int16)
+            - solo["pred_im_seq"][0].astype(np.int16)
+        )
+        assert diff.max() <= 1  # +-1 ulp quantization flips only
+        np.testing.assert_allclose(
+            outs[i]["future_points"], solo["future_points"][0], atol=1e-5
+        )

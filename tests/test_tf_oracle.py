@@ -369,6 +369,7 @@ def _tf_vgg_taps(params, rgb):
     return taps
 
 
+@pytest.mark.slow
 class TestComposedTrainLossOracle:
     """The COMPLETE stage-1 training objective against a raw-TF
     composition on the same weights (reference
@@ -749,6 +750,7 @@ class TestStage2ForwardOracle:
 
 
 # ------------------------------------------- composed final serving graph
+@pytest.mark.slow
 class TestComposedFinalOracle:
     """The SHIPPED serving product — encode -> first_pt -> fixed z ->
     scan-decode -> render -> translate -> blend as ONE graph, fast paths

@@ -13,6 +13,12 @@ from kpvid_tpu.train.stage2 import Stage2Trainer
 
 
 def tiny_config(**model_kw) -> Config:
+    # narrow widths (wired in round 4): same graph structure, ~100x less
+    # FLOPs than the reference widths on the 1-core CI host
+    model_kw.setdefault("encoder_filters", 8)
+    model_kw.setdefault("translator_filters", 16)
+    model_kw.setdefault("pose_decoder_filters", 16)
+    model_kw.setdefault("discriminator_filters", 8)
     model = ModelConfig(
         n_pts=6,
         n_action=4,
@@ -36,7 +42,7 @@ def _tree_l2_diff(a, b):
 @pytest.fixture(scope="module")
 def s1():
     cfg = tiny_config()
-    trainer = Stage1Trainer(cfg, synthesize_vgg19_params())
+    trainer = Stage1Trainer(cfg, synthesize_vgg19_params(max_width=16))
     state = trainer.init_state(jax.random.PRNGKey(0))
     return trainer, state
 
@@ -71,6 +77,7 @@ class TestStage1:
         assert int(new_state.step) == 1
         assert np.isfinite(float(metrics["loss_G"]))
 
+    @pytest.mark.slow
     def test_fused_dg_matches_two_batch_on_same_batch(self, s1, batch):
         """gan_step_mode='fused_dg' is the reference's D-then-G order on a
         single batch: feeding two_batch the SAME batch twice must produce
@@ -106,6 +113,7 @@ class TestStage1:
         assert np.isfinite(float(metrics["psnr"]))
         assert float(metrics["reconstruction_metric"]) > 0
 
+    @pytest.mark.slow
     def test_bn_eval_mode_train_matches_q5_semantics(self, s1, batch):
         """bn_eval_mode='train' (quirk Q5 bug-compat) evaluates with the
         batch's own BN statistics — different numbers from inference-mode
@@ -117,7 +125,7 @@ class TestStage1:
             trainer.config,
             training=dc_replace(trainer.config.training, bn_eval_mode="train"),
         )
-        trainer_q5 = Stage1Trainer(cfg_q5, synthesize_vgg19_params())
+        trainer_q5 = Stage1Trainer(cfg_q5, synthesize_vgg19_params(max_width=16))
         m_inf = trainer.jitted_eval_step(state, batch)
         m_q5 = trainer_q5.jitted_eval_step(state, batch)
         assert not np.isclose(
@@ -140,13 +148,14 @@ class TestStage1:
             float(m_q5["reconstruction_metric"]), float(want), rtol=1e-5
         )
 
+    @pytest.mark.slow
     def test_fused_upsample_mode_trains_equivalently(self, s1, batch):
         """model.upsample_mode='fused' is a config-selectable training
         formulation: one train step must produce metrics matching the
         default 'tf1' form (same params; only fp reassociation differs)."""
         trainer, state = s1
         cfg = tiny_config(upsample_mode="fused")
-        tr_f = Stage1Trainer(cfg, synthesize_vgg19_params())
+        tr_f = Stage1Trainer(cfg, synthesize_vgg19_params(max_width=16))
         _, m_ref = jax.jit(trainer.train_step)(jax.tree.map(jnp.copy, state), batch)
         _, m_fused = jax.jit(tr_f.train_step)(jax.tree.map(jnp.copy, state), batch)
         for k in ("loss_G", "loss_D", "reconstruction_metric"):
@@ -154,13 +163,14 @@ class TestStage1:
                 float(m_fused[k]), float(m_ref[k]), rtol=1e-4, err_msg=k
             )
 
+    @pytest.mark.slow
     def test_remat_vgg_trains_equivalently(self, s1, batch):
         """training.remat_vgg=True recomputes the VGG tower in the
         backward — identical math, different schedule."""
         trainer, state = s1
         cfg = tiny_config()
         cfg.training.remat_vgg = True
-        tr_r = Stage1Trainer(cfg, synthesize_vgg19_params())
+        tr_r = Stage1Trainer(cfg, synthesize_vgg19_params(max_width=16))
         _, m_ref = jax.jit(trainer.train_step)(jax.tree.map(jnp.copy, state), batch)
         _, m_r = jax.jit(tr_r.train_step)(jax.tree.map(jnp.copy, state), batch)
         for k in ("loss_G", "loss_D", "reconstruction_metric"):
@@ -168,13 +178,14 @@ class TestStage1:
                 float(m_r[k]), float(m_ref[k]), rtol=1e-5, err_msg=k
             )
 
+    @pytest.mark.slow
     def test_bf16_train_step(self, batch):
         """The bf16 compute path must differentiate end-to-end (regression:
         VGG max-pool init and conv preferred_element_type once broke its
         VJP)."""
         cfg = tiny_config()
         cfg.training.compute_dtype = "bfloat16"
-        trainer = Stage1Trainer(cfg, synthesize_vgg19_params())
+        trainer = Stage1Trainer(cfg, synthesize_vgg19_params(max_width=16))
         state = trainer.init_state(jax.random.PRNGKey(0))
         new_state, metrics = trainer.jitted_train_step(
             jax.tree.map(jnp.copy, state), batch
@@ -237,6 +248,44 @@ class TestStage2:
         assert int(new_state.step) == 1
         assert np.isfinite(float(metrics["loss_G"]))
 
+    @pytest.mark.slow
+    def test_multi_step_matches_sequential(self, s2, seq_batch):
+        """train_step_multi (lax.scan of K steps in ONE dispatch) is
+        IDENTICAL to K sequential train_step calls given the same per-step
+        rng stream (the dispatch-amortization program; docs/PERF.md
+        "stage-2 multi-step")."""
+        trainer, state = s2
+        K = 3
+        rng = np.random.default_rng(7)
+        batches = {
+            "image": jnp.asarray(rng.uniform(-1, 1, (K, 2, 32, 32, 3)), jnp.float32),
+            "keypoints": jnp.asarray(rng.uniform(-1, 1, (K, 2, 6, 2)), jnp.float32),
+            "real_seq": jnp.asarray(rng.uniform(-1, 1, (K, 2, 8, 6, 2)), jnp.float32),
+            "action_code": jax.nn.one_hot(jnp.asarray([[0, 3], [1, 2], [3, 0]]), 4),
+        }
+        keys = jax.random.split(jax.random.PRNGKey(11), K)
+
+        seq_state = jax.tree.map(jnp.copy, state)
+        seq_metrics = []
+        for k in range(K):
+            batch_k = jax.tree.map(lambda x: x[k], batches)
+            seq_state, m = jax.jit(trainer.train_step)(seq_state, batch_k, keys[k])
+            seq_metrics.append(m)
+
+        multi_state, multi_metrics = trainer.jitted_train_step_multi(
+            jax.tree.map(jnp.copy, state), batches, keys
+        )
+        assert int(multi_state.step) == K
+        for k in range(K):
+            for name in ("loss_D", "loss_G", "recon_loss", "kl_loss"):
+                np.testing.assert_allclose(
+                    float(multi_metrics[name][k]), float(seq_metrics[k][name]),
+                    rtol=1e-5, err_msg=f"step {k} {name}",
+                )
+        assert _tree_l2_diff(multi_state.g_params, seq_state.g_params) < 1e-9
+        assert _tree_l2_diff(multi_state.d_params, seq_state.d_params) < 1e-9
+
+    @pytest.mark.slow
     def test_fused_dg_matches_two_batch_on_same_batch(self, s2, seq_batch):
         """Same-batch two_batch and fused_dg are the identical op sequence
         (including the rng split convention), so updates must agree."""

@@ -185,6 +185,7 @@ def main():
 
         stats = batcher.stats()
         server.shutdown()
+        server.server_close()  # release the listening socket between phases
         batcher.stop()
         print(json.dumps({
             "phase": "http_daemon", "pipeline": pipelined,

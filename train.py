@@ -16,6 +16,7 @@ restored; reference train.py:81): if a checkpoint exists under
 
 from __future__ import annotations
 
+import os
 import time
 from argparse import ArgumentParser
 from pathlib import Path
@@ -128,7 +129,11 @@ def main():
                 "vgg19.npy not found at %s - using synthesized frozen weights "
                 "(fine for smoke tests, NOT for real training)", vgg_path
             )
-            vgg_params = synthesize_vgg19_params()
+            # KPVID_SYNTH_VGG_WIDTH clamps the synthesized tower's channel
+            # widths — smoke/CI runs on slow hosts set it (e.g. 16) to cut
+            # the perceptual loss FLOPs; unset = exact VGG19 shapes
+            width = int(os.environ.get("KPVID_SYNTH_VGG_WIDTH", "0"))
+            vgg_params = synthesize_vgg19_params(max_width=width or None)
         trainer = Stage1Trainer(config, vgg_params)
     else:
         from kpvid_tpu.train.stage2 import Stage2Trainer
