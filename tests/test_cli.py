@@ -1,9 +1,10 @@
-"""End-to-end CLI chain smoke test (train -> label -> train -> evaluate).
+"""End-to-end CLI tests (train -> label -> train -> evaluate).
 
-Opt-in (KPVID_CLI_TESTS=1): it shells out to the real CLIs on synthetic
-data, which costs ~5 minutes warm / ~20 cold on a small host. The default
-suite stays fast; the verify skill and CI-nightly runs set the flag.
-"""
+Always-on miniatures cover each CLI individually; the chained
+train->label->train->evaluate workflow (test_full_chain) and the
+multi-process byte-identity batteries live in the slow tier
+(`pytest tests/ -m slow`). Narrow network widths keep even the full
+chain to minutes warm on a 1-core host."""
 
 import os
 import subprocess
@@ -13,11 +14,6 @@ from pathlib import Path
 import pytest
 
 from mp_launch import run_coordinated
-
-_full_chain = pytest.mark.skipif(
-    os.environ.get("KPVID_CLI_TESTS") != "1",
-    reason="set KPVID_CLI_TESTS=1 to run the full CLI chain",
-)
 
 REPO = Path(__file__).resolve().parent.parent
 
@@ -315,8 +311,12 @@ def test_serve_cli_miniature(mini_env, mini_stage2):
         assert proc.wait(timeout=60) == 0, proc.stdout.read()
 
 
-@_full_chain
+@pytest.mark.slow
 def test_full_chain(tmp_path):
+    """The reference README workflow as ONE chained subprocess run:
+    train stage-1 -> make_pseudo_labels -> train stage-2 -> evaluate
+    (+ a mesh-mode evaluate that must match single-device). Reference:
+    /root/reference/README.md training/evaluation instructions."""
     cfg = tmp_path / "cfg.yaml"
     cfg.write_text(f"""
 paths:
