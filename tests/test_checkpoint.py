@@ -1,7 +1,9 @@
 """Checkpoint round-trip + name-filtered merge restore (the two-checkpoint
-composition semantic of reference base_model.py:83-92 / evaluate.py:76-77)."""
+composition semantic of reference base_model.py:83-92 / evaluate.py:76-77),
+plus elastic (topology-changing) save/restore. SURVEY §5.4."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -97,6 +99,78 @@ def test_full_train_state_resume_roundtrip(tmp_path):
     np.testing.assert_array_equal(merged.g_params["dense"]["kernel"], np.ones((3, 4)))
     chex = merged.g_opt_state
     assert len(jax.tree.leaves(chex)) == len(jax.tree.leaves(opt.init(params)))
+
+
+@pytest.mark.slow
+def test_elastic_topology_checkpoint(tmp_path):
+    """Elastic restore: a REAL stage-1 train state saved while TP-sharded
+    on a 4x2 ('data','model') mesh restores onto a single device, onto a
+    pure-DP 8x1 mesh, and back onto 4x2 — and on every target topology the
+    NEXT train step is bit-identical to the never-checkpointed state run on
+    that same topology (checkpoints are topology-free host numpy; sharding
+    is re-derived at load). The restore path any multi-chip run needs the
+    day topology changes between runs. SURVEY §5.4; reference
+    base_model.py:83-92 (which can only restore onto its one device)."""
+    from test_parallel import _tiny_config
+
+    from kpvid_tpu.losses import synthesize_vgg19_params
+    from kpvid_tpu.parallel import make_mesh, shard_batch, shard_state
+    from kpvid_tpu.train.stage1 import Stage1Trainer
+
+    def tree_equal(a, b):
+        flat_a, _ = jax.tree_util.tree_flatten_with_path(a)
+        flat_b = jax.tree_util.tree_flatten(b)[0]
+        assert len(flat_a) == len(flat_b)
+        for (path, x), y in zip(flat_a, flat_b):
+            np.testing.assert_array_equal(
+                np.asarray(x), np.asarray(y), err_msg=jax.tree_util.keystr(path)
+            )
+
+    cfg = _tiny_config()
+    trainer = Stage1Trainer(cfg, synthesize_vgg19_params(max_width=16))
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(11)
+    batch = {
+        "image": rng.uniform(-1, 1, (8, 32, 32, 3)).astype(np.float32),
+        "future_image": rng.uniform(-1, 1, (8, 32, 32, 3)).astype(np.float32),
+    }
+    step = jax.jit(trainer.train_step)
+
+    # --- save while TP-sharded on 4x2 (min_shard_dim=16 so the tiny nets'
+    # 16+-wide kernels really shard over 'model') ---
+    mesh42 = make_mesh(n_data=4, n_model=2)
+    state_42 = shard_state(mesh42, state, min_shard_dim=16)
+    tp_leaves = [
+        l for l in jax.tree.leaves(state_42)
+        if isinstance(l, jax.Array) and "model" in str(l.sharding.spec)
+    ]
+    assert tp_leaves, "no leaf actually TP-sharded — test precondition broken"
+    save_checkpoint(tmp_path, "elastic", 1, state_42)
+
+    restored = restore_checkpoint(latest_checkpoint(tmp_path / "elastic"))
+    merged, n = merge_restore(jax.tree.map(jnp.zeros_like, state), restored)
+    assert n == len(jax.tree.leaves(state))
+
+    # --- target: single device ---
+    ref_s, ref_m = step(jax.tree.map(jnp.copy, state), batch)
+    got_s, got_m = step(merged, batch)
+    tree_equal(got_m, ref_m)
+    tree_equal(got_s, ref_s)
+
+    # --- target: pure-DP 8x1 ---
+    mesh81 = make_mesh(n_data=8, n_model=1)
+    batch_81 = shard_batch(mesh81, batch)
+    ref81_s, ref81_m = step(shard_state(mesh81, state, min_shard_dim=16), batch_81)
+    got81_s, got81_m = step(shard_state(mesh81, merged, min_shard_dim=16), batch_81)
+    tree_equal(got81_m, ref81_m)
+    tree_equal(got81_s, ref81_s)
+
+    # --- and back onto the TP mesh (replicated ckpt -> 4x2 shards) ---
+    batch_42 = shard_batch(mesh42, batch)
+    ref42_s, ref42_m = step(state_42, batch_42)
+    got42_s, got42_m = step(shard_state(mesh42, merged, min_shard_dim=16), batch_42)
+    tree_equal(got42_m, ref42_m)
+    tree_equal(got42_s, ref42_s)
 
 
 def test_async_checkpoint_manager(tmp_path):

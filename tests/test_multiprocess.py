@@ -92,6 +92,34 @@ def test_two_process_dp_matches_single_process(tmp_path):
     assert (mp_ckpt / "detector_translator" / "ckpt-2").is_dir()
 
 
+def test_tp_sharded_checkpoint_allgather_branch(tmp_path):
+    """_device_to_host_packed's non-fully-addressable branch
+    (utils/checkpoint.py:53-62): a 2-process 1x2 'model' mesh TP-shards a
+    leaf ACROSS hosts; the collective save all-gathers it, the primary
+    writes, every process joins the Orbax restore and gets the exact
+    bytes back (asserted inside tests/mp_ckpt_worker.py). SURVEY §5.4."""
+    run_coordinated(
+        [REPO / "tests" / "mp_ckpt_worker.py", tmp_path / "ckpt"],
+        [tmp_path / f"ckpt_p{pid}.log" for pid in range(2)],
+        env_extra={"MP_WORKER_LOCAL_DEVICES": "1"},
+    )
+    # the written checkpoint holds the full (gathered) arrays — readable
+    # by a plain single-process restore (values = mp_ckpt_worker's
+    # reference_state, duplicated here: importing the worker would mutate
+    # this process's env)
+    from kpvid_tpu.utils.checkpoint import latest_checkpoint, restore_checkpoint
+
+    restored = restore_checkpoint(latest_checkpoint(tmp_path / "ckpt" / "tp"))
+    np.testing.assert_array_equal(
+        np.asarray(restored["wide"]),
+        np.arange(8 * 16, dtype=np.float32).reshape(8, 16) / 7.0,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(restored["narrow"]), np.arange(4, dtype=np.float32)
+    )
+    assert int(restored["step"]) == 5
+
+
 class TestLocalBatchAssembly:
     """Construction-level checks of the per-host batch math (no
     subprocesses)."""
