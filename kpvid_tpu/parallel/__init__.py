@@ -6,6 +6,11 @@ from .distributed import (
     synced_compile,
     put_batch,
 )
+from .inventory import (
+    CollectiveInventory,
+    collective_inventory,
+    inventory_compiled,
+)
 from .mesh import make_mesh
 from .sharding import (
     batch_sharding,
@@ -16,6 +21,9 @@ from .sharding import (
 )
 
 __all__ = [
+    "CollectiveInventory",
+    "collective_inventory",
+    "inventory_compiled",
     "make_mesh",
     "batch_sharding",
     "replicate",

@@ -154,6 +154,106 @@ class TestDpTpExecution:
         assert sharded["step"].sharding.spec == P()
 
 
+class TestCollectiveInventory:
+    """Unit tests of the HLO collective parser (parallel/inventory.py)."""
+
+    def test_counts_bytes_and_groups(self):
+        from kpvid_tpu.parallel import collective_inventory
+
+        hlo = """
+  %all-reduce.1 = f32[4,8]{1,0} all-reduce(f32[4,8]{1,0} %p0), channel_id=1, replica_groups={{0,1,2,3,4,5,6,7}}, to_apply=%add
+  %ag = bf16[16]{0} all-gather(bf16[8]{0} %p1), replica_groups={{0,1},{2,3}}, dimensions={0}
+  %t = (f32[2]{0}, f32[3]{0}) all-reduce(f32[2]{0} %a, f32[3]{0} %b), replica_groups={{0,1,2,3}}
+  %noise = f32[4]{0} add(f32[4]{0} %x, f32[4]{0} %y)
+"""
+        inv = collective_inventory(hlo)
+        assert inv.counts == {"all-reduce": 2, "all-gather": 1}
+        assert inv.bytes["all-reduce"] == 4 * 8 * 4 + (2 + 3) * 4
+        assert inv.bytes["all-gather"] == 16 * 2
+        assert inv.group_sizes == {8: 1, 2: 1, 4: 1}
+        assert inv.ops_other_than("all-reduce") == {"all-gather": 1}
+
+    def test_async_pairs_count_once_and_iota_groups(self):
+        from kpvid_tpu.parallel import collective_inventory
+
+        hlo = """
+  %ars = f32[128]{0} all-reduce-start(f32[128]{0} %g), replica_groups=[4,2]<=[8], channel_id=2
+  %ard = f32[128]{0} all-reduce-done(f32[128]{0} %ars)
+  %cp = f32[8]{0} collective-permute(f32[8]{0} %v), source_target_pairs={{0,1}}
+"""
+        inv = collective_inventory(hlo)
+        assert inv.counts == {"all-reduce": 1, "collective-permute": 1}
+        assert inv.bytes["all-reduce"] == 128 * 4
+        assert inv.group_sizes.get(2) == 1  # iota [4,2]<=[8]: 2 per group
+
+    def test_scalar_and_empty(self):
+        from kpvid_tpu.parallel import collective_inventory
+
+        inv = collective_inventory("%r = f32[] all-reduce(f32[] %x), replica_groups={{0,1}}")
+        assert inv.counts == {"all-reduce": 1}
+        assert inv.bytes["all-reduce"] == 4
+        assert collective_inventory("").total_ops == 0
+
+
+@pytest.mark.slow
+class TestProductionWidthCollectives:
+    """Collective hygiene at PRODUCTION widths/sharding (VERDICT r4 #1):
+    compile-only AOT over virtual meshes at min_shard_dim=1024, then read
+    the SPMD-partitioned HLO (parallel/inventory.py). The production-scale
+    version of the round-4 tiny-width table in docs/PERF.md."""
+
+    def _compile(self, graphs, n_data, n_model, min_shard=1024):
+        import sys as _sys
+        from pathlib import Path as _Path
+
+        _sys.path.insert(0, str(_Path(__file__).resolve().parent.parent / "tools"))
+        from multichip_cost import build_cases
+
+        from kpvid_tpu.configs import Config
+        from kpvid_tpu.parallel import inventory_compiled
+
+        config = Config()  # penn production widths, batch 16, bf16
+        (name, make), = build_cases(config, graphs)
+        mesh = make_mesh(n_data=n_data, n_model=n_model)
+        fn, fn_args = make(mesh, min_shard)
+        return config, inventory_compiled(fn.lower(*fn_args).compile())
+
+    def test_stage1_pure_dp_grad_psums_only(self):
+        """The production-width 8x1 pure-DP stage-1 train step contains NO
+        collectives beyond the gradient psums: all-reduce only, every one
+        spanning the full 8-wide data axis, total payload within the G+D
+        gradient-byte envelope (shard-aligned interleaved pair batching,
+        ops/batching.py, keeps every concat local)."""
+        import numpy as np
+
+        from kpvid_tpu.losses import synthesize_vgg19_params
+        from kpvid_tpu.train.stage1 import Stage1Trainer
+
+        config, inv = self._compile(["stage1"], n_data=8, n_model=1)
+        assert inv.ops_other_than("all-reduce") == {}, inv.counts
+        assert inv.counts.get("all-reduce", 0) > 0
+        assert set(inv.group_sizes) == {8}, inv.group_sizes
+
+        s1 = Stage1Trainer(config, synthesize_vgg19_params())
+        state = jax.eval_shape(s1.init_state, jax.random.PRNGKey(0))
+        param_bytes = sum(
+            int(np.prod(l.shape)) * l.dtype.itemsize
+            for l in jax.tree.leaves((state.g_params, state.d_params))
+        )
+        ar = inv.bytes["all-reduce"]
+        # grad psums dominate: payload between 0.5x (if XLA reduces some
+        # grads pre-f32-convert in bf16) and 1.1x (BN stats + metric
+        # scalars on top) of the f32 G+D param bytes
+        assert 0.5 * param_bytes <= ar <= 1.1 * param_bytes, (ar, param_bytes)
+
+    def test_serving_dp_zero_collectives(self):
+        """The fused production-width serving graph is ZERO-collective
+        under pure-DP batch sharding — rows are independent end-to-end, so
+        multi-chip serving scales linearly by construction."""
+        _, inv = self._compile(["serving"], n_data=8, n_model=1)
+        assert inv.total_ops == 0, inv.counts
+
+
 @pytest.mark.slow
 class TestTrainerMeshEquivalence:
     """The REAL production train/eval/serve steps produce the same params
