@@ -87,6 +87,17 @@ class TrainingConfig:
     #   train forward) — use for 1:1 visual comparison against a reference
     #   run while moving stats are still stale. Never updates the stats.
     summary_bn_mode: str = "inference"
+    # How the four shared-weight pair forwards (pose encoder, both
+    # discriminators, VGG) batch their two inputs (ops/batching.py):
+    # 'interleave': rows [a0,b0,a1,b1,...] — shard-aligned under a
+    #   batch-sharded mesh (zero-collective pure-DP graphs), ~6% slower
+    #   stage-1 step on one chip (strided row shuffle; docs/PERF.md).
+    # 'concat': rows [a0..aB,b0..bB] (the reference's tf.concat shape) —
+    #   fastest on a single device, collective-poison under a mesh.
+    # 'auto' (default): 'concat' when exactly one device is visible,
+    #   'interleave' otherwise. Both modes run identical per-row math
+    #   (equivalence-tested); checkpoints are interchangeable.
+    pair_batching: str = "auto"
 
 
 @dataclasses.dataclass
@@ -197,6 +208,8 @@ class Config:
             raise ValueError(f"unknown bn_eval_mode {t.bn_eval_mode!r}")
         if t.summary_bn_mode not in ("inference", "train"):
             raise ValueError(f"unknown summary_bn_mode {t.summary_bn_mode!r}")
+        if t.pair_batching not in ("auto", "interleave", "concat"):
+            raise ValueError(f"unknown pair_batching {t.pair_batching!r}")
         if m.upsample_mode not in ("tf1", "matmul", "fused"):
             raise ValueError(f"unknown model.upsample_mode {m.upsample_mode!r}")
         if m.lstm_unroll < 1:

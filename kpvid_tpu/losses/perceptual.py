@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as flax_nn
 
-from ..ops import deinterleave_pair, interleave_pair
+from ..ops import pair_fns
 
 # (name, out_channels, followed_by_pool)
 VGG19_LAYOUT = (
@@ -130,14 +130,18 @@ def perceptual_loss(
     gt_0_255: jax.Array,
     pred_0_255: jax.Array,
     dtype: Any = jnp.float32,
+    pair_mode: str = "interleave",
 ) -> jax.Array:
-    """Mean over 5 tap layers of mean |feat_gt - feat_pred| (f32)."""
-    # interleaved 2B rows: shard-aligned under a batch-sharded mesh
-    # (ops/batching.py); VGG is row-independent so taps are bit-identical
-    both = interleave_pair(gt_0_255, pred_0_255)
+    """Mean over 5 tap layers of mean |feat_gt - feat_pred| (f32).
+
+    pair_mode lays out the 2B VGG batch (ops/batching.py): 'interleave' is
+    shard-aligned under a batch-sharded mesh, 'concat' is single-chip
+    fastest; VGG is row-independent so taps are bit-identical either way."""
+    pair, unpair = pair_fns(pair_mode)
+    both = pair(gt_0_255, pred_0_255)
     feats = vgg19_features(params, both, dtype=dtype)
     losses = []
     for f in feats:
-        f_gt, f_pred = deinterleave_pair(f.astype(jnp.float32))
+        f_gt, f_pred = unpair(f.astype(jnp.float32))
         losses.append(jnp.mean(jnp.abs(f_gt - f_pred)))
     return jnp.mean(jnp.stack(losses))

@@ -31,9 +31,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops import (
-    deinterleave_pair,
     heatmaps_to_keypoints,
-    interleave_pair,
+    pair_fns,
     render_gaussian_maps,
     upsample2x,
 )
@@ -297,6 +296,10 @@ class Stage1Generator(nn.Module):
     dtype: Dtype = jnp.float32
     upsample_mode: str = "tf1"  # serving passes 'matmul' (see Translator)
     conv_backend: str = "xla"  # serving may pass 'pallas' (see Translator)
+    # how the 2B pose-encoder pair batch is laid out (ops/batching.py):
+    # 'interleave' is mesh-shard-aligned, 'concat' is single-chip-fastest;
+    # identical per-row math either way (training.pair_batching)
+    pair_batching: str = "interleave"
 
     def setup(self):
         self.image_encoder = ImageEncoder(self.encoder_filters, dtype=self.dtype)
@@ -319,11 +322,12 @@ class Stage1Generator(nn.Module):
         b = im.shape[0]
         embeddings = self.image_encoder(im, train)
         # one 2B pose-encoder batch (shared weights + shared BN batch stats,
-        # reference detector_translator_model.py:163-166) in INTERLEAVED row
-        # order: shard-aligned under a batch-sharded mesh (see ops/batching).
-        both = interleave_pair(im, future_im)
+        # reference detector_translator_model.py:163-166); row layout per
+        # self.pair_batching (see ops/batching).
+        pair, unpair = pair_fns(self.pair_batching)
+        both = pair(im, future_im)
         mu_both = self.pose_encoder(both, train)
-        current_mu, future_mu = deinterleave_pair(mu_both)
+        current_mu, future_mu = unpair(mu_both)
 
         hs = self.heatmap_size
         current_map = render_gaussian_maps(current_mu, hs, hs, self.heatmap_inv_std)

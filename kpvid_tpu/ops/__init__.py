@@ -1,4 +1,11 @@
-from .batching import deinterleave_pair, interleave_pair
+from .batching import (
+    concat_pair,
+    deinterleave_pair,
+    interleave_pair,
+    pair_fns,
+    resolve_pair_mode,
+    split_pair,
+)
 from .coords import (
     blend,
     colorize_point_maps,
@@ -10,8 +17,12 @@ from .resize import upsample2x
 
 __all__ = [
     "blend",
+    "concat_pair",
     "deinterleave_pair",
     "interleave_pair",
+    "pair_fns",
+    "resolve_pair_mode",
+    "split_pair",
     "colorize_point_maps",
     "heatmaps_to_keypoints",
     "render_gaussian_maps",

@@ -42,7 +42,7 @@ from ..losses import (
     perceptual_loss,
 )
 from ..models import ImageDiscriminator, Stage1Generator
-from ..ops import deinterleave_pair, interleave_pair
+from ..ops import pair_fns, resolve_pair_mode
 from .state import GANTrainState, make_lr_schedule, make_optimizer
 
 
@@ -61,6 +61,10 @@ class Stage1Trainer:
         self.dtype = (
             jnp.bfloat16 if config.training.compute_dtype == "bfloat16" else jnp.float32
         )
+        # pair-batching layout for the 4 shared-weight pair forwards:
+        # 'auto' resolves by visible device count (ops/batching.py)
+        self.pair_mode = resolve_pair_mode(config.training.pair_batching)
+        self._pair, self._unpair = pair_fns(self.pair_mode)
         self.generator = Stage1Generator(
             n_pts=m.n_pts,
             heatmap_size=m.heatmap_size,
@@ -70,6 +74,7 @@ class Stage1Trainer:
             pose_decoder_filters=m.pose_decoder_filters,
             dtype=self.dtype,
             upsample_mode=m.upsample_mode,
+            pair_batching=self.pair_mode,
         )
         self.discriminator = ImageDiscriminator(
             filters=m.discriminator_filters, dtype=self.dtype
@@ -85,7 +90,9 @@ class Stage1Trainer:
         # recompute its 16 conv activations in the backward instead of
         # keeping them live (memory for FLOPs; measured in docs/PERF.md)
         def _recon(p, gt, pred):
-            return perceptual_loss(p, gt, pred, dtype=self.dtype)
+            return perceptual_loss(
+                p, gt, pred, dtype=self.dtype, pair_mode=self.pair_mode
+            )
 
         self._recon_loss = (
             jax.checkpoint(_recon) if config.training.remat_vgg else _recon
@@ -121,12 +128,12 @@ class Stage1Trainer:
         return out, batch_stats
 
     def _d_logits(self, d_params, real, fake):
-        # one 2B discriminator batch, interleaved rows: shard-aligned under
-        # a batch-sharded mesh (ops/batching.py); per-row logits identical
-        # to the concat form (no cross-batch ops in the discriminator)
-        both = interleave_pair(real, fake)
+        # one 2B discriminator batch, row layout per self.pair_mode
+        # (ops/batching.py); per-row logits identical in either form (no
+        # cross-batch ops in the discriminator)
+        both = self._pair(real, fake)
         logits = self.discriminator.apply({"params": d_params}, both)
-        return deinterleave_pair(logits)
+        return self._unpair(logits)
 
     def _d_update(self, state: GANTrainState, real, fake):
         def d_loss_fn(d_params):
@@ -226,7 +233,8 @@ class Stage1Trainer:
         real_logit, fake_logit = self._d_logits(state.d_params, future_im, fake)
         loss_d, d_real, d_fake = discriminator_loss(real_logit, fake_logit)
         recon = perceptual_loss(
-            self.vgg_params, _to_0_255(future_im), _to_0_255(fake), dtype=self.dtype
+            self.vgg_params, _to_0_255(future_im), _to_0_255(fake),
+            dtype=self.dtype, pair_mode=self.pair_mode,
         )
         adv = generator_adv_loss(fake_logit)
         mse = jnp.mean(jnp.square(jnp.clip(fake, -1, 1) - future_im))

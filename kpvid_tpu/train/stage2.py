@@ -23,7 +23,7 @@ from ..losses import (
     seq_recon_loss,
 )
 from ..models import MotionGenerator, SeqDiscriminator
-from ..ops import deinterleave_pair, interleave_pair
+from ..ops import pair_fns, resolve_pair_mode
 from .state import GANTrainState, make_lr_schedule, make_optimizer
 
 
@@ -52,6 +52,9 @@ class Stage2Trainer:
         self.g_opt = make_optimizer(config.training.lr)
         self.d_opt = make_optimizer(config.training.lr)
         self.lr_schedule = make_lr_schedule(config.training.lr)
+        # seq-discriminator pair layout ('auto' resolves by device count)
+        self.pair_mode = resolve_pair_mode(config.training.pair_batching)
+        self._pair, self._unpair = pair_fns(self.pair_mode)
 
     # ---------------------------------------------------------------- init
     def init_state(self, rng: jax.Array) -> GANTrainState:
@@ -95,10 +98,10 @@ class Stage2Trainer:
 
     def _d_update(self, state: GANTrainState, real_seq, pred_seq):
         def d_loss_fn(d_params):
-            # interleaved 2B rows: shard-aligned under a batch-sharded mesh
-            both = interleave_pair(real_seq, jax.lax.stop_gradient(pred_seq))
+            # 2B rows, layout per self.pair_mode (ops/batching.py)
+            both = self._pair(real_seq, jax.lax.stop_gradient(pred_seq))
             logits = self.discriminator.apply({"params": d_params}, both)
-            real_logit, fake_logit = deinterleave_pair(logits)
+            real_logit, fake_logit = self._unpair(logits)
             loss, d_real, d_fake = discriminator_loss(real_logit, fake_logit)
             return loss, (d_real, d_fake)
 
@@ -211,9 +214,9 @@ class Stage2Trainer:
         pred_seq, mu, stddev = self.generator.apply(
             {"params": state.g_params}, real_seq, first_pt, act, noise
         )
-        both = interleave_pair(real_seq, pred_seq)
+        both = self._pair(real_seq, pred_seq)
         logits = self.discriminator.apply({"params": state.d_params}, both)
-        real_logit, fake_logit = deinterleave_pair(logits)
+        real_logit, fake_logit = self._unpair(logits)
         loss_d, d_real, d_fake = discriminator_loss(real_logit, fake_logit)
         recon = seq_recon_loss(pred_seq, real_seq)
         kl = kl_raw_sigma(mu, stddev)

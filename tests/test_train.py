@@ -301,3 +301,101 @@ class TestStage2:
             np.testing.assert_allclose(float(m_dg[k]), float(m_tb[k]), rtol=1e-6, err_msg=k)
         assert _tree_l2_diff(st_dg.g_params, st_tb.g_params) < 1e-10
         assert _tree_l2_diff(st_dg.d_params, st_tb.d_params) < 1e-10
+
+
+class TestPairBatchingEquivalence:
+    """training.pair_batching 'interleave' vs 'concat' are graph-level
+    alternatives over identical per-row math (ops/batching.py): single-chip
+    runs resolve 'auto' to the faster concat form, mesh runs to the
+    shard-aligned interleave form — one step must agree to BN-summation-
+    order tolerance, and init states must be structurally identical (so
+    checkpoints are interchangeable across modes)."""
+
+    def _trainers(self, mode_a, mode_b, stage):
+        import dataclasses
+
+        cfg = tiny_config()
+        vgg = synthesize_vgg19_params(max_width=16)
+        out = []
+        for mode in (mode_a, mode_b):
+            c = dataclasses.replace(
+                cfg, training=dataclasses.replace(cfg.training, pair_batching=mode)
+            ).validate()
+            out.append(Stage1Trainer(c, vgg) if stage == 1 else Stage2Trainer(c))
+        return out
+
+    def test_stage1_step_matches(self, batch):
+        ta, tb = self._trainers("interleave", "concat", stage=1)
+        assert (ta.pair_mode, tb.pair_mode) == ("interleave", "concat")
+        state = ta.init_state(jax.random.PRNGKey(0))
+        state_b = tb.init_state(jax.random.PRNGKey(0))
+        # same init: params/stats don't depend on the pair row order
+        assert _tree_l2_diff(state, state_b) == 0.0
+        sa, ma = jax.jit(ta.train_step)(jax.tree.map(jnp.copy, state), batch)
+        sb, mb = jax.jit(tb.train_step)(state_b, batch)
+        for k in sorted(ma):
+            np.testing.assert_allclose(
+                float(ma[k]), float(mb[k]), rtol=2e-5, atol=1e-7, err_msg=k
+            )
+        # pre-update math matches to summation order (metrics above); the
+        # Adam update then amplifies ulp-level BN-order grad diffs on
+        # sign-ambiguous (near-zero-grad) elements by up to ~2*lr — same
+        # bound the mesh-equivalence tests use (test_parallel.py)
+        lr = ta.config.training.lr.start_val
+        self._assert_adam_close(sa.g_params, sb.g_params, lr)
+        self._assert_adam_close(sa.d_params, sb.d_params, lr)
+        assert _tree_l2_diff(sa.batch_stats, sb.batch_stats) < 1e-12
+
+    @staticmethod
+    def _assert_adam_close(a, b, lr):
+        total, count = 0.0, 0
+        for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+            d = np.abs(np.asarray(x) - np.asarray(y))
+            assert d.max() <= 2.05 * lr, d.max()
+            total += float(d.sum())
+            count += d.size
+        assert total / count < 0.05 * lr, total / count
+
+    def test_stage2_step_matches(self):
+        ta, tb = self._trainers("interleave", "concat", stage=2)
+        rng = np.random.default_rng(7)
+        m = ta.config.model
+        b = 2
+        batch = {
+            "image": jnp.asarray(rng.uniform(-1, 1, (b, 32, 32, 3)), jnp.float32),
+            "keypoints": jnp.asarray(rng.uniform(-1, 1, (b, m.n_pts, 2)), jnp.float32),
+            "real_seq": jnp.asarray(
+                rng.uniform(-1, 1, (b, m.n_future_frames, m.n_pts, 2)), jnp.float32
+            ),
+            "action_code": jnp.asarray(np.eye(m.n_action, dtype=np.float32)[:b]),
+        }
+        key = jax.random.PRNGKey(3)
+        state = ta.init_state(jax.random.PRNGKey(1))
+        sa, ma = jax.jit(ta.train_step)(jax.tree.map(jnp.copy, state), batch, key)
+        sb, mb = jax.jit(tb.train_step)(jax.tree.map(jnp.copy, state), batch, key)
+        for k in sorted(ma):
+            np.testing.assert_allclose(
+                float(ma[k]), float(mb[k]), rtol=2e-5, atol=1e-7, err_msg=k
+            )
+        lr = ta.config.training.lr.start_val
+        self._assert_adam_close(sa.g_params, sb.g_params, lr)
+        self._assert_adam_close(sa.d_params, sb.d_params, lr)
+
+    def test_auto_resolution_and_validation(self):
+        from kpvid_tpu.ops import resolve_pair_mode
+
+        # on the 8-virtual-device CI platform 'auto' must pick the
+        # mesh-safe form; explicit modes pass through; junk raises
+        assert resolve_pair_mode("auto") == "interleave"
+        assert resolve_pair_mode("concat") == "concat"
+        assert resolve_pair_mode("interleave") == "interleave"
+        with pytest.raises(ValueError):
+            resolve_pair_mode("blocked")
+        import dataclasses
+
+        cfg = tiny_config()
+        bad = dataclasses.replace(
+            cfg, training=dataclasses.replace(cfg.training, pair_batching="nope")
+        )
+        with pytest.raises(ValueError):
+            bad.validate()
