@@ -203,6 +203,41 @@ def test_evaluate_cli_miniature(mini_env, mini_stage2):
         assert len(list((sample / sub).glob("*.png"))) == 32, sub
 
 
+def test_export_serving_cli_miniature(mini_env, mini_stage2):
+    """tools/export_serving.py on the miniature checkpoints: the one-file
+    StableHLO artifact (weights baked in, 'cpu'+'tpu' lowerings — no TPU
+    needed to export) loads WITHOUT model code or config and generates at
+    an exported batch bucket."""
+    import json
+
+    import numpy as np
+
+    out = mini_env / "serving_artifact.npz"
+    proc = run(
+        ["tools/export_serving.py", "--config", str(mini_env / "cfg.yaml"),
+         "--checkpoint_stage1", f"{mini_env}/results/detector_translator",
+         "--checkpoint_stage2", f"{mini_env}/results/motion_generator",
+         "--out", str(out), "--batch-sizes", "1", "--platforms", "cpu,tpu"]
+    )
+    line = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert line["batch_sizes"] == [1], line
+    assert line["platforms"] == ["cpu", "tpu"], line
+    assert "pred_im_seq" in line["outputs"], line
+
+    from kpvid_tpu.eval.export import load_serving
+
+    art = load_serving(out)
+    gen_rng = np.random.default_rng(0)
+    vid = art.generate(
+        gen_rng.uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32),
+        np.eye(9, dtype=np.float32)[:1],
+        gen_rng.normal(size=(1, 16)).astype(np.float32),
+    )
+    pred = np.asarray(vid["pred_im_seq"])
+    assert pred.shape == (1, 32, 32, 32, 3), pred.shape  # T=32 future frames
+    assert np.all(np.abs(pred) <= 1.0)
+
+
 @pytest.mark.slow
 def test_evaluate_png_workers_identical(mini_env, mini_stage2):
     """The threaded PNG writer (--png-workers) produces a byte-identical
