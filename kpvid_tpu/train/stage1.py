@@ -217,6 +217,28 @@ class Stage1Trainer:
         metrics = {**d_metrics, **g_metrics, "lr": self.lr_schedule(state.step)}
         return state, metrics
 
+    def train_step_multi(
+        self, state: GANTrainState, batches: dict
+    ) -> tuple[GANTrainState, dict]:
+        """K fused D+G steps in ONE dispatch: `lax.scan` of train_step over
+        K pre-stacked batches (every array in `batches` is [K, B, ...]).
+        Equivalent to K sequential train_step calls up to XLA fusion
+        reassociation (the scanned body compiles with different conv/VGG
+        fusions than the standalone step; losses match to 1e-5 relative and
+        params stay inside the Adam update envelope — tested in
+        test_train.py; stage-2's variant is exact in practice).
+        Stage-1 analog of Stage2Trainer.train_step_multi:
+        amortizes per-dispatch overhead at the cost of K-step logging /
+        checkpoint granularity. The stage-1 step is compute-bound (39-170
+        ms vs ~1.3 ms dispatch; docs/PERF.md "stage-1 multi-step"), so the
+        win is small — opt-in API; train.py keeps the reference-faithful
+        single-step loop. Metrics come back stacked [K]."""
+
+        def body(st, one_batch):
+            return self.train_step(st, one_batch)
+
+        return jax.lax.scan(body, state, batches)
+
     # ----------------------------------------------------------- evaluation
     def eval_step(self, state: GANTrainState, batch: dict) -> dict:
         """Losses + fidelity metrics on a test batch. BN mode follows
@@ -261,6 +283,10 @@ class Stage1Trainer:
     @functools.cached_property
     def jitted_train_step_two_batch(self):
         return jax.jit(self.train_step_two_batch, donate_argnums=(0,))
+
+    @functools.cached_property
+    def jitted_train_step_multi(self):
+        return jax.jit(self.train_step_multi, donate_argnums=(0,))
 
     @functools.cached_property
     def jitted_eval_step(self):

@@ -77,6 +77,57 @@ class TestStage1:
         assert int(new_state.step) == 1
         assert np.isfinite(float(metrics["loss_G"]))
 
+    def test_multi_step_matches_sequential(self, s1):
+        """train_step_multi (lax.scan of K fused steps in ONE dispatch)
+        matches K sequential train_step calls: losses to 1e-5 relative,
+        params within the Adam update envelope (3*lr per step element-wise
+        — the scanned body compiles with different conv/VGG fusions than
+        the standalone step, and Adam amplifies ulp-level grad diffs where
+        gradients are noise-dominated; stage-2's variant is exact). The
+        stage-1 analog of the stage-2 dispatch-amortization program
+        (docs/PERF.md "stage-1 multi-step")."""
+        cfg = tiny_config()
+        trainer = Stage1Trainer(cfg, synthesize_vgg19_params(max_width=16))
+        state = trainer.init_state(jax.random.PRNGKey(2))
+        K = 3
+        gen = np.random.default_rng(5)
+        batches = {
+            "image": jnp.asarray(gen.uniform(-1, 1, (K, 2, 32, 32, 3)), jnp.float32),
+            "future_image": jnp.asarray(
+                gen.uniform(-1, 1, (K, 2, 32, 32, 3)), jnp.float32
+            ),
+        }
+
+        seq_state = jax.tree.map(jnp.copy, state)
+        seq_metrics = []
+        for k in range(K):
+            batch_k = jax.tree.map(lambda x: x[k], batches)
+            seq_state, m = jax.jit(trainer.train_step)(seq_state, batch_k)
+            seq_metrics.append(m)
+
+        multi_state, multi_metrics = trainer.jitted_train_step_multi(
+            jax.tree.map(jnp.copy, state), batches
+        )
+        assert int(multi_state.step) == K
+        for k in range(K):
+            for name in ("loss_D", "loss_G", "reconstruction_metric", "G_adv_loss"):
+                np.testing.assert_allclose(
+                    float(multi_metrics[name][k]), float(seq_metrics[k][name]),
+                    rtol=1e-5, err_msg=f"step {k} {name}",
+                )
+        # Adam bias correction lets early |update| slightly exceed lr
+        envelope = 3.0 * cfg.training.lr.start_val * K
+        for name, a, b in (
+            ("g_params", multi_state.g_params, seq_state.g_params),
+            ("d_params", multi_state.d_params, seq_state.d_params),
+            ("batch_stats", multi_state.batch_stats, seq_state.batch_stats),
+        ):
+            diff = max(
+                float(jnp.max(jnp.abs(x - y)))
+                for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
+            )
+            assert diff < envelope, (name, diff, envelope)
+
     @pytest.mark.slow
     def test_fused_dg_matches_two_batch_on_same_batch(self, s1, batch):
         """gan_step_mode='fused_dg' is the reference's D-then-G order on a
