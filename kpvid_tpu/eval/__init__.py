@@ -1,4 +1,14 @@
+from .export import ServingArtifact, export_serving, load_serving
 from .final import FinalGenerator
-from .server import InferenceEngine, MicroBatcher, make_server
+from .server import ArtifactEngine, InferenceEngine, MicroBatcher, make_server
 
-__all__ = ["FinalGenerator", "InferenceEngine", "MicroBatcher", "make_server"]
+__all__ = [
+    "ArtifactEngine",
+    "FinalGenerator",
+    "InferenceEngine",
+    "MicroBatcher",
+    "ServingArtifact",
+    "export_serving",
+    "load_serving",
+    "make_server",
+]

@@ -109,6 +109,10 @@ class ServingArtifact:
     def __init__(self, meta: dict, exported: dict[int, "jax.export.Exported"]):
         self.meta = meta
         self.batch_sizes = sorted(exported)
+        # kept public: exported graphs are traceable, so callers may re-wrap
+        # them with epilogues (eval/server.py::ArtifactEngine jits a
+        # device-side uint8 quantizer around them)
+        self.exported = exported
         self._calls = {b: jax.jit(e.call) for b, e in exported.items()}
 
     def generate(self, im, action_code, z) -> dict:

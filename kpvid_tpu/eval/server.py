@@ -160,6 +160,7 @@ class InferenceEngine:
         self.vae_dim = config.model.vae_dim
         self.image_size = config.model.image_size
         self.n_action = config.model.n_action
+        self.n_future_frames = config.model.n_future_frames
         self._jit_serve = jax.jit(self._serve_program)
 
     def _serve_program(self, s1_vars, s2_params, images, act, z) -> dict:
@@ -195,6 +196,60 @@ class InferenceEngine:
     def run(self, images: np.ndarray, actions: np.ndarray, z: np.ndarray) -> dict:
         """images [B,S,S,3] f32 in [-1,1]; actions [B] int; z [B,vae_dim].
         Returns pred_im_seq/mask as uint8, points as f32."""
+        return self.fetch(self.dispatch(images, actions, z))
+
+
+class ArtifactEngine:
+    """InferenceEngine drop-in backed by a serialized serving artifact
+    (eval/export.py): the daemon runs from ONE file — no model code path,
+    config, or checkpoint tree on the serving host. Batch buckets are the
+    artifact's exported batch sizes (jax.export graphs have static shapes,
+    like the MicroBatcher's compile-once buckets). The device-side uint8
+    epilogue wraps each deserialized graph in an outer jit — exported
+    graphs are traceable — so the wire format and 4x-smaller readback
+    match InferenceEngine exactly. Outputs agree with a live
+    InferenceEngine to float-reassociation tolerance (<= 1 uint8 step at
+    quantization boundaries; tests/test_server.py)."""
+
+    OUTPUT_KEYS = InferenceEngine.OUTPUT_KEYS
+
+    def __init__(self, artifact):
+        meta = artifact.meta
+        self.vae_dim = int(meta["vae_dim"])
+        self.image_size = int(meta["image_size"])
+        self.n_action = int(meta["n_action"])
+        self.n_future_frames = int(meta["n_future_frames"])
+        self.n_data = 1  # artifact graphs are single-device programs
+        self.buckets = tuple(artifact.batch_sizes)
+
+        def quantized(exp):
+            def fn(images, act, z):
+                out = exp.call(images, act, z)
+                return {
+                    "pred_im_seq": device_quantize(out["pred_im_seq"]),
+                    "mask": device_quantize(out["mask"], rescale=False),
+                    "current_points": out["current_points"].astype(jnp.float32),
+                    "future_points": out["future_points"].astype(jnp.float32),
+                }
+
+            return jax.jit(fn)
+
+        self._fns = {b: quantized(e) for b, e in artifact.exported.items()}
+
+    def dispatch(self, images: np.ndarray, actions: np.ndarray, z: np.ndarray) -> dict:
+        b = images.shape[0]
+        if b not in self._fns:
+            raise ValueError(
+                f"batch size {b} not in the artifact's exported buckets "
+                f"{list(self.buckets)}"
+            )
+        act = np.zeros((b, self.n_action), np.float32)
+        act[np.arange(b), actions] = 1.0
+        return self._fns[b](images, act, z)
+
+    fetch = staticmethod(InferenceEngine.fetch)
+
+    def run(self, images: np.ndarray, actions: np.ndarray, z: np.ndarray) -> dict:
         return self.fetch(self.dispatch(images, actions, z))
 
 
@@ -443,7 +498,7 @@ class _Handler(BaseHTTPRequestHandler):
                 "status": "ok",
                 "image_size": self.engine.image_size,
                 "n_action": self.engine.n_action,
-                "n_future_frames": self.engine.config.model.n_future_frames,
+                "n_future_frames": self.engine.n_future_frames,
                 "buckets": list(self.batcher.buckets),
             })
         elif self.path == "/stats":

@@ -5,6 +5,11 @@
         --checkpoint_stage1 results/stage1 --checkpoint_stage2 results/stage2 \
         --port 8000
 
+or from a one-file serving artifact (tools/export_serving.py — no config,
+checkpoints, or model sources needed on the host):
+
+    python serve.py --artifact serving.npz --port 8000
+
 Then:
 
     curl -s localhost:8000/healthz
@@ -33,9 +38,16 @@ from argparse import ArgumentParser
 
 def main():
     parser = ArgumentParser()
-    parser.add_argument("--config", type=str, required=True)
-    parser.add_argument("--checkpoint_stage1", type=str, required=True)
-    parser.add_argument("--checkpoint_stage2", type=str, required=True)
+    parser.add_argument("--config", type=str, default=None)
+    parser.add_argument("--checkpoint_stage1", type=str, default=None)
+    parser.add_argument("--checkpoint_stage2", type=str, default=None)
+    parser.add_argument("--artifact", type=str, default=None,
+                        help="serve from a serialized serving artifact "
+                             "(tools/export_serving.py) instead of config + "
+                             "checkpoints: ONE file, no model sources on the "
+                             "host. Buckets are the artifact's exported batch "
+                             "sizes; --mesh does not apply (artifact graphs "
+                             "are single-device programs).")
     parser.add_argument("--host", type=str, default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--buckets", type=int, nargs="+", default=None,
@@ -69,38 +81,65 @@ def main():
     enable_compilation_cache()
     import jax
 
-    from evaluate import _resolve_ckpt
-    from kpvid_tpu.configs import load_config
-    from kpvid_tpu.eval import FinalGenerator
-    from kpvid_tpu.eval.server import DEFAULT_BUCKETS, InferenceEngine, make_server
-    from kpvid_tpu.utils.checkpoint import merge_restore, restore_checkpoint
+    from kpvid_tpu.eval.server import DEFAULT_BUCKETS, make_server
     from kpvid_tpu.utils.logging import logger
 
-    config = load_config(args.config)
-    ck1 = _resolve_ckpt(args.checkpoint_stage1, "--checkpoint_stage1")
-    ck2 = _resolve_ckpt(args.checkpoint_stage2, "--checkpoint_stage2")
+    if args.artifact:
+        if args.config or args.checkpoint_stage1 or args.checkpoint_stage2:
+            raise SystemExit("--artifact replaces --config/--checkpoint_stage1/"
+                             "--checkpoint_stage2; pass one or the other")
+        if args.mesh:
+            raise SystemExit("--mesh does not apply to --artifact (artifact "
+                             "graphs are single-device programs)")
+        from kpvid_tpu.eval.export import load_serving
+        from kpvid_tpu.eval.server import ArtifactEngine
 
-    final = FinalGenerator(config)
-    s1_vars, s2_vars = final.init_variables(jax.random.PRNGKey(0))
-    r1 = restore_checkpoint(ck1)
-    s1_merged, n1 = merge_restore(
-        {"params": s1_vars["params"], "batch_stats": s1_vars["batch_stats"]},
-        {"params": r1.get("g_params", {}), "batch_stats": r1.get("batch_stats", {})},
-    )
-    r2 = restore_checkpoint(ck2)
-    s2_params, n2 = merge_restore(s2_vars["params"], r2.get("g_params", {}))
-    if n1 == 0 or n2 == 0:
-        raise ValueError(f"checkpoint merge matched 0 tensors (stage1={n1}, stage2={n2})")
-    logger.info("restored stage1=%d tensors from %s; stage2=%d from %s", n1, ck1, n2, ck2)
+        artifact = load_serving(args.artifact)
+        engine = ArtifactEngine(artifact)
+        logger.info(
+            "serving artifact %s: buckets %s, platforms %s",
+            args.artifact, list(engine.buckets), artifact.meta["platforms"],
+        )
+        buckets = tuple(args.buckets) if args.buckets else engine.buckets
+        unknown = set(buckets) - set(engine.buckets)
+        if unknown:
+            raise SystemExit(f"buckets {sorted(unknown)} not exported in the "
+                             f"artifact (has {list(engine.buckets)})")
+    else:
+        if not (args.config and args.checkpoint_stage1 and args.checkpoint_stage2):
+            raise SystemExit("pass --config + --checkpoint_stage1 + "
+                             "--checkpoint_stage2 (or --artifact)")
+        from evaluate import _resolve_ckpt
+        from kpvid_tpu.configs import load_config
+        from kpvid_tpu.eval import FinalGenerator
+        from kpvid_tpu.eval.server import InferenceEngine
+        from kpvid_tpu.utils.checkpoint import merge_restore, restore_checkpoint
 
-    mesh = None
-    if args.mesh:
-        from kpvid_tpu.parallel import make_mesh
+        config = load_config(args.config)
+        ck1 = _resolve_ckpt(args.checkpoint_stage1, "--checkpoint_stage1")
+        ck2 = _resolve_ckpt(args.checkpoint_stage2, "--checkpoint_stage2")
 
-        mesh = make_mesh(n_model=1)
-        logger.info("serving over %d-device 'data' mesh", mesh.shape["data"])
-    engine = InferenceEngine(config, s1_merged, s2_params, mesh=mesh)
-    buckets = tuple(args.buckets) if args.buckets else DEFAULT_BUCKETS
+        final = FinalGenerator(config)
+        s1_vars, s2_vars = final.init_variables(jax.random.PRNGKey(0))
+        r1 = restore_checkpoint(ck1)
+        s1_merged, n1 = merge_restore(
+            {"params": s1_vars["params"], "batch_stats": s1_vars["batch_stats"]},
+            {"params": r1.get("g_params", {}), "batch_stats": r1.get("batch_stats", {})},
+        )
+        r2 = restore_checkpoint(ck2)
+        s2_params, n2 = merge_restore(s2_vars["params"], r2.get("g_params", {}))
+        if n1 == 0 or n2 == 0:
+            raise ValueError(f"checkpoint merge matched 0 tensors (stage1={n1}, stage2={n2})")
+        logger.info("restored stage1=%d tensors from %s; stage2=%d from %s", n1, ck1, n2, ck2)
+
+        mesh = None
+        if args.mesh:
+            from kpvid_tpu.parallel import make_mesh
+
+            mesh = make_mesh(n_model=1)
+            logger.info("serving over %d-device 'data' mesh", mesh.shape["data"])
+        engine = InferenceEngine(config, s1_merged, s2_params, mesh=mesh)
+        buckets = tuple(args.buckets) if args.buckets else DEFAULT_BUCKETS
     if not args.no_warmup:
         logger.info("warming up %d buckets %s ...", len(buckets), list(buckets))
     server, batcher = make_server(

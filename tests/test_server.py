@@ -323,3 +323,88 @@ def test_mesh_engine_matches_single_device(engine, rng):
         np.testing.assert_allclose(
             outs[i]["future_points"], solo["future_points"][0], atol=1e-5
         )
+
+
+def test_artifact_engine_matches_inference_engine(engine, rng, tmp_path):
+    """ArtifactEngine (the daemon running from a serialized one-file
+    artifact, eval/export.py) agrees with the live InferenceEngine on the
+    same weights: quantized image outputs within one uint8 step (float
+    reassociation at quantization boundaries — the artifact's weights are
+    compile-time constants), keypoints to 1e-5."""
+    from kpvid_tpu.eval import ArtifactEngine
+    from kpvid_tpu.eval.export import export_serving, load_serving
+
+    path = tmp_path / "art.npz"
+    export_serving(
+        engine.final, engine.s1_vars, engine.s2_params, path,
+        batch_sizes=(2,), platforms=("cpu",),
+    )
+    art_engine = ArtifactEngine(load_serving(path))
+    assert art_engine.buckets == (2,)
+    assert art_engine.image_size == 32 and art_engine.n_action == 5
+    assert art_engine.n_future_frames == 6
+
+    images = _images(rng, 2)
+    actions = np.asarray([1, 4])
+    z = np.stack([request_z(s, engine.vae_dim) for s in (7, 8)])
+    a = engine.run(images, actions, z)
+    b = art_engine.run(images, actions, z)
+    assert set(a) == set(b)
+    for k in ("pred_im_seq", "mask"):
+        assert b[k].dtype == np.uint8, k
+        diff = np.abs(a[k].astype(np.int16) - b[k].astype(np.int16))
+        assert diff.max() <= 1, (k, diff.max())
+    for k in ("current_points", "future_points"):
+        np.testing.assert_allclose(a[k], b[k], rtol=1e-5, atol=1e-6, err_msg=k)
+
+    with pytest.raises(ValueError, match="batch size 3"):
+        art_engine.dispatch(
+            _images(rng, 3), np.zeros(3, np.int64), np.zeros((3, 8), np.float32)
+        )
+
+
+def test_http_serves_from_artifact(engine, rng, tmp_path):
+    """The HTTP daemon runs end-to-end from an artifact: healthz reports
+    the artifact's meta; a generate roundtrip returns the npz contract."""
+    from PIL import Image
+
+    from kpvid_tpu.eval import ArtifactEngine
+    from kpvid_tpu.eval.export import export_serving, load_serving
+
+    path = tmp_path / "art.npz"
+    export_serving(
+        engine.final, engine.s1_vars, engine.s2_params, path,
+        batch_sizes=(1,), platforms=("cpu",),
+    )
+    art_engine = ArtifactEngine(load_serving(path))
+    server, batcher = make_server(
+        art_engine, port=0, buckets=art_engine.buckets, max_wait_ms=1.0
+    )
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            h = json.loads(r.read())
+        assert h["status"] == "ok" and h["image_size"] == 32
+        assert h["n_future_frames"] == 6 and h["buckets"] == [1]
+
+        png = io.BytesIO()
+        Image.fromarray(rng.uniform(0, 255, (48, 40, 3)).astype(np.uint8)).save(
+            png, format="PNG"
+        )
+        body = {"image": base64.b64encode(png.getvalue()).decode(),
+                "action": 2, "seed": 5}
+        req = urllib.request.Request(
+            f"{base}/v1/generate", json.dumps(body).encode(),
+            {"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = dict(np.load(io.BytesIO(r.read())))
+        assert out["pred_im_seq"].shape == (6, 32, 32, 3)
+        assert out["pred_im_seq"].dtype == np.uint8
+        assert out["mask"].shape == (6, 32, 32, 1)
+    finally:
+        server.shutdown()
+        batcher.stop()
