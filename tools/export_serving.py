@@ -56,6 +56,9 @@ def main():
     parser.add_argument("--platforms", type=str, default="cpu,tpu")
     args = parser.parse_args()
 
+    from kpvid_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()  # also honors KPVID_PLATFORM (CPU dry runs)
     import jax
 
     from kpvid_tpu.configs import load_config
