@@ -98,6 +98,18 @@ class TrainingConfig:
     #   'interleave' otherwise. Both modes run identical per-row math
     #   (equivalence-tested); checkpoints are interchangeable.
     pair_batching: str = "auto"
+    # Gradient cross-replica reduction dtype under pure-DP meshes
+    # (parallel/dp_step.py; no reference equivalent — single device):
+    # 'float32' (default): the jit-SPMD path — XLA inserts f32 grad psums.
+    # 'bfloat16': a shard_map train step that pmean's the per-shard
+    #   gradients in bf16 before the (replicated, f32) Adam update —
+    #   HALVES the per-step ICI payload (docs/PERF.md "Multi-chip
+    #   scaling"). BN stays global-batch (sync BN over the mesh axis) and
+    #   the VAE noise stream is identical to the jit path; the only
+    #   numeric delta is bf16 rounding of the averaged gradients
+    #   (equivalence-tested in tests/test_dp_step.py). Pure-DP only
+    #   (parallel.mesh_model must be 1).
+    dp_grad_dtype: str = "float32"
 
 
 @dataclasses.dataclass
@@ -220,6 +232,13 @@ class Config:
             )
         if t.compute_dtype not in ("bfloat16", "float32"):
             raise ValueError(f"unknown compute_dtype {t.compute_dtype!r}")
+        if t.dp_grad_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"unknown dp_grad_dtype {t.dp_grad_dtype!r}")
+        if t.dp_grad_dtype == "bfloat16" and self.parallel.mesh_model > 1:
+            raise ValueError(
+                "training.dp_grad_dtype='bfloat16' is pure-DP only "
+                "(parallel.mesh_model must be 1; see parallel/dp_step.py)"
+            )
         if t.batch_size <= 0:
             raise ValueError("batch_size must be positive")
         p = self.parallel

@@ -128,9 +128,16 @@ class Conv(nn.Module):
 
 class BatchNorm(nn.Module):
     """BN eps=1e-5, center+scale, moving stats (reference layers.py:13-14;
-    tf.contrib defaults: decay 0.999)."""
+    tf.contrib defaults: decay 0.999).
+
+    `axis_name`: cross-replica (sync) BN for shard_map-based data
+    parallelism (parallel/dp_step.py) — batch statistics pmean over the
+    named mesh axis, so a per-shard forward sees the GLOBAL-batch stats,
+    matching the jit-SPMD semantics exactly. None (default) outside
+    shard_map."""
 
     dtype: Dtype = jnp.float32
+    axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -142,6 +149,7 @@ class BatchNorm(nn.Module):
             use_scale=True,
             dtype=self.dtype,
             param_dtype=jnp.float32,
+            axis_name=self.axis_name,
         )(x)
 
 
@@ -157,6 +165,7 @@ def conv_bn_relu(
     skip: jax.Array | None = None,
     mdl: nn.Module | None = None,
     backend: str = "xla",
+    bn_axis: str | None = None,
 ) -> jax.Array:
     """conv + BN + relu. `backend='pallas'` (serving only; requires `mdl`,
     the calling module, for parameter access) routes eligible layers —
@@ -168,7 +177,7 @@ def conv_bn_relu(
     params either way; the Pallas path merely reads them via
     `mdl.variables` and computes differently."""
     conv = Conv(features, kernel, stride, dtype=dtype, name=f"{name}_conv")
-    bn = BatchNorm(dtype=dtype, name=f"{name}_bn")
+    bn = BatchNorm(dtype=dtype, axis_name=bn_axis, name=f"{name}_bn")
     if (
         backend == "pallas"
         and mdl is not None

@@ -51,17 +51,20 @@ class ConvEncoder(nn.Module):
 
     filters: int = 32
     dtype: Dtype = jnp.float32
+    # cross-replica (sync) BN axis for shard_map DP (parallel/dp_step.py)
+    bn_axis: str | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> list[jax.Array]:
         f = self.filters
-        x = conv_bn_relu(x, f, 7, 1, train, self.dtype, "in0")
-        x = conv_bn_relu(x, f, 3, 1, train, self.dtype, "in1")
+        ba = self.bn_axis
+        x = conv_bn_relu(x, f, 7, 1, train, self.dtype, "in0", bn_axis=ba)
+        x = conv_bn_relu(x, f, 3, 1, train, self.dtype, "in1", bn_axis=ba)
         feats = [x]
         for i in range(3):
             f *= 2
-            x = conv_bn_relu(x, f, 3, 2, train, self.dtype, f"down{i}")
-            x = conv_bn_relu(x, f, 3, 1, train, self.dtype, f"keep{i}")
+            x = conv_bn_relu(x, f, 3, 2, train, self.dtype, f"down{i}", bn_axis=ba)
+            x = conv_bn_relu(x, f, 3, 1, train, self.dtype, f"keep{i}", bn_axis=ba)
             feats.append(x)
         return feats
 
@@ -72,10 +75,13 @@ class ImageEncoder(nn.Module):
 
     filters: int = 32
     dtype: Dtype = jnp.float32
+    bn_axis: str | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> list[jax.Array]:
-        feats = ConvEncoder(self.filters, self.dtype, name="trunk")(x, train)
+        feats = ConvEncoder(
+            self.filters, self.dtype, bn_axis=self.bn_axis, name="trunk"
+        )(x, train)
         return [x] + feats
 
 
@@ -100,11 +106,15 @@ class PoseEncoder(nn.Module):
     # splitting (conv of a concat = sum of per-part convs) — exact; used
     # by the serving/labeling path (see Translator.upsample_mode).
     upsample_mode: str = "tf1"
+    bn_axis: str | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool, return_raw_maps: bool = False):
         final_res = x.shape[1]
-        feats = ConvEncoder(self.trunk_filters, self.dtype, name="trunk")(x, train)
+        ba = self.bn_axis
+        feats = ConvEncoder(
+            self.trunk_filters, self.dtype, bn_axis=ba, name="trunk"
+        )(x, train)
         x = feats[-1]
         f = self.filters
         octave = 0
@@ -113,17 +123,19 @@ class PoseEncoder(nn.Module):
             if octave > 0:
                 x = conv_bn_relu(
                     x, f, 3, 1, train, self.dtype, f"dec{octave}a",
-                    pre_up2=pending_up, skip=feats[-1 - octave],
+                    pre_up2=pending_up, skip=feats[-1 - octave], bn_axis=ba,
                 )
                 pending_up = False
             else:
-                x = conv_bn_relu(x, f, 3, 1, train, self.dtype, f"dec{octave}a")
-            x = conv_bn_relu(x, f, 3, 1, train, self.dtype, f"dec{octave}b")
+                x = conv_bn_relu(
+                    x, f, 3, 1, train, self.dtype, f"dec{octave}a", bn_axis=ba
+                )
+            x = conv_bn_relu(x, f, 3, 1, train, self.dtype, f"dec{octave}b", bn_axis=ba)
             if x.shape[1] == final_res:
                 raw = Conv(self.n_pts, 1, 1, dtype=self.dtype, name="heat")(x)
                 break
-            x = conv_bn_relu(x, f, 3, 1, train, self.dtype, f"dec{octave}c")
-            x = conv_bn_relu(x, f, 3, 1, train, self.dtype, f"dec{octave}d")
+            x = conv_bn_relu(x, f, 3, 1, train, self.dtype, f"dec{octave}c", bn_axis=ba)
+            x = conv_bn_relu(x, f, 3, 1, train, self.dtype, f"dec{octave}d", bn_axis=ba)
             if self.upsample_mode == "fused":
                 pending_up = True
             else:
@@ -162,6 +174,7 @@ class Translator(nn.Module):
     # Same params and checkpoints in all backends, reassociation-level
     # numeric difference. Training and init always take the XLA path.
     conv_backend: str = "xla"
+    bn_axis: str | None = None
 
     @nn.compact
     def __call__(
@@ -203,6 +216,7 @@ class Translator(nn.Module):
                     interpret=jax.default_backend() != "tpu",
                 )
         f = self.filters
+        ba = self.bn_axis
         octave = 0
         pending_up = False  # 'fused' mode: upsample deferred into next conv
         while True:
@@ -211,17 +225,18 @@ class Translator(nn.Module):
                     x = Conv(f, 3, 1, dtype=self.dtype, name="oct0a_conv")(x)
                 else:
                     x = precomputed_first
-                x = BatchNorm(dtype=self.dtype, name="oct0a_bn")(x, train)
+                x = BatchNorm(dtype=self.dtype, axis_name=ba, name="oct0a_bn")(x, train)
                 x = nn.relu(x)
             else:
                 x = conv_bn_relu(
                     x, f, 3, 1, train, self.dtype, f"oct{octave}a",
                     pre_up2=pending_up, mdl=self, backend=self.conv_backend,
+                    bn_axis=ba,
                 )
                 pending_up = False
             x = conv_bn_relu(
                 x, f, 3, 1, train, self.dtype, f"oct{octave}b",
-                mdl=self, backend=self.conv_backend,
+                mdl=self, backend=self.conv_backend, bn_axis=ba,
             )
             if x.shape[1] == final_res:
                 if fused_heads is not None:
@@ -239,11 +254,11 @@ class Translator(nn.Module):
                 return crude.astype(jnp.float32), mask
             x = conv_bn_relu(
                 x, f, 3, 1, train, self.dtype, f"oct{octave}c",
-                mdl=self, backend=self.conv_backend,
+                mdl=self, backend=self.conv_backend, bn_axis=ba,
             )
             x = conv_bn_relu(
                 x, f, 3, 1, train, self.dtype, f"oct{octave}d",
-                mdl=self, backend=self.conv_backend,
+                mdl=self, backend=self.conv_backend, bn_axis=ba,
             )
             if self.upsample_mode == "fused":
                 # the 2x upsample folds into the NEXT octave's first conv
@@ -300,9 +315,16 @@ class Stage1Generator(nn.Module):
     # 'interleave' is mesh-shard-aligned, 'concat' is single-chip-fastest;
     # identical per-row math either way (training.pair_batching)
     pair_batching: str = "interleave"
+    # cross-replica (sync) BN axis: set by the shard_map DP train step
+    # (parallel/dp_step.py) so per-shard forwards see GLOBAL-batch BN
+    # statistics — exactly the jit-SPMD semantics. Parameter trees and
+    # checkpoints are unchanged by this knob.
+    bn_axis: str | None = None
 
     def setup(self):
-        self.image_encoder = ImageEncoder(self.encoder_filters, dtype=self.dtype)
+        self.image_encoder = ImageEncoder(
+            self.encoder_filters, dtype=self.dtype, bn_axis=self.bn_axis
+        )
         # the pose encoder only distinguishes 'fused' (its skip decoder
         # folds upsamples into the next conv); 'matmul' there would change
         # nothing material, so it maps to the interleave form
@@ -310,12 +332,12 @@ class Stage1Generator(nn.Module):
         self.pose_encoder = PoseEncoder(
             self.n_pts, filters=self.pose_decoder_filters,
             trunk_filters=self.encoder_filters,
-            dtype=self.dtype, upsample_mode=pe_mode,
+            dtype=self.dtype, upsample_mode=pe_mode, bn_axis=self.bn_axis,
         )
         self.translator = Translator(
             filters=self.translator_filters,
             dtype=self.dtype, upsample_mode=self.upsample_mode,
-            conv_backend=self.conv_backend,
+            conv_backend=self.conv_backend, bn_axis=self.bn_axis,
         )
 
     def __call__(self, im: jax.Array, future_im: jax.Array, train: bool) -> dict:

@@ -6,6 +6,7 @@ from .distributed import (
     synced_compile,
     put_batch,
 )
+from .dp_step import make_dp_reduce_step
 from .inventory import (
     CollectiveInventory,
     collective_inventory,
@@ -24,6 +25,7 @@ __all__ = [
     "CollectiveInventory",
     "collective_inventory",
     "inventory_compiled",
+    "make_dp_reduce_step",
     "make_mesh",
     "batch_sharding",
     "replicate",

@@ -28,8 +28,12 @@ COLLECTIVE_OPS = (
     "collective-broadcast",
 )
 
+# tuple shapes need the non-greedy form: TPU layouts nest parens inside
+# the element list — e.g. "(f32[32]{0:T(128)S(1)}, /*index=5*/f32[96,256]
+# {1,0:T(8,128)S(1)}) all-reduce(" — so "\([^)]*\)" would stop at the
+# first layout paren; "\(.*?\)" extends until the op token follows.
 _OP_RE = re.compile(
-    r"=\s+(?P<shape>\([^)]*\)|[a-z0-9]+\[[0-9,]*\]\S*)\s+"
+    r"=\s+(?P<shape>\(.*?\)|[a-z0-9]+\[[0-9,]*\]\S*)\s+"
     r"(?P<op>" + "|".join(COLLECTIVE_OPS) + r")(?P<suffix>-start|-done)?\("
 )
 _SHAPE_RE = re.compile(r"([a-z][a-z0-9]*)\[([0-9,]*)\]")

@@ -43,7 +43,7 @@ from ..losses import (
 )
 from ..models import ImageDiscriminator, Stage1Generator
 from ..ops import pair_fns, resolve_pair_mode
-from .state import GANTrainState, make_lr_schedule, make_optimizer
+from .state import GANTrainState, make_lr_schedule, make_optimizer, make_reduce_hooks
 
 
 def _to_0_255(x: jax.Array) -> jax.Array:
@@ -53,10 +53,20 @@ def _to_0_255(x: jax.Array) -> jax.Array:
 
 
 class Stage1Trainer:
-    """Owns the module definitions, optimizers, and pure step functions."""
+    """Owns the module definitions, optimizers, and pure step functions.
 
-    def __init__(self, config: Config, vgg_params: dict):
+    `reduce_axis`: when set (by parallel/dp_step.py, which runs the step
+    INSIDE shard_map over that mesh axis), the step computes per-shard
+    gradients and explicitly pmean's them over the axis — in
+    config.training.dp_grad_dtype, so 'bfloat16' halves the ICI payload —
+    while BN runs as sync-BN over the same axis (global-batch statistics,
+    matching the jit-SPMD semantics) and metrics are pmean'd. None
+    (default): the ordinary whole-array step; XLA inserts any collectives.
+    Parameter trees and checkpoints are identical either way."""
+
+    def __init__(self, config: Config, vgg_params: dict, reduce_axis: str | None = None):
         self.config = config
+        self.reduce_axis = reduce_axis
         m = config.model
         self.dtype = (
             jnp.bfloat16 if config.training.compute_dtype == "bfloat16" else jnp.float32
@@ -75,6 +85,7 @@ class Stage1Trainer:
             dtype=self.dtype,
             upsample_mode=m.upsample_mode,
             pair_batching=self.pair_mode,
+            bn_axis=reduce_axis,
         )
         self.discriminator = ImageDiscriminator(
             filters=m.discriminator_filters, dtype=self.dtype
@@ -96,6 +107,11 @@ class Stage1Trainer:
 
         self._recon_loss = (
             jax.checkpoint(_recon) if config.training.remat_vgg else _recon
+        )
+        # shard_map DP: explicit cross-replica grad/metric reduction
+        # (identity when reduce_axis is None; see class docstring)
+        self._reduce_grads, self._reduce_metrics = make_reduce_hooks(
+            reduce_axis, config.training.dp_grad_dtype
         )
 
     # ---------------------------------------------------------------- init
@@ -146,6 +162,7 @@ class Stage1Trainer:
         (loss_d, (d_real, d_fake)), grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
             state.d_params
         )
+        grads = self._reduce_grads(grads)
         updates, d_opt_state = self.d_opt.update(grads, state.d_opt_state, state.d_params)
         d_params = optax.apply_updates(state.d_params, updates)
         return state.replace(d_params=d_params, d_opt_state=d_opt_state), {
@@ -170,6 +187,9 @@ class Stage1Trainer:
         (loss_g, (fake, new_stats, recon, adv)), grads = jax.value_and_grad(
             g_loss_fn, has_aux=True
         )(state.g_params)
+        # sync-BN (bn_axis=reduce_axis) already makes new_stats identical
+        # across shards; only grads need the explicit cross-replica mean
+        grads = self._reduce_grads(grads)
         updates, g_opt_state = self.g_opt.update(grads, state.g_opt_state, state.g_params)
         g_params = optax.apply_updates(state.g_params, updates)
         state = state.replace(
@@ -187,7 +207,7 @@ class Stage1Trainer:
         state, d_metrics = self._d_update(state, future_im, fake)
         state = state.replace(step=state.step + 1)
         metrics = {**d_metrics, **g_metrics, "lr": self.lr_schedule(state.step)}
-        return state, metrics
+        return state, self._reduce_metrics(metrics)
 
     def train_step_dg(self, state: GANTrainState, batch: dict) -> tuple[GANTrainState, dict]:
         """One-batch step in the reference's D-then-G order
@@ -200,7 +220,7 @@ class Stage1Trainer:
         state, _, g_metrics = self._g_update(state, im, future_im)
         state = state.replace(step=state.step + 1)
         metrics = {**d_metrics, **g_metrics, "lr": self.lr_schedule(state.step)}
-        return state, metrics
+        return state, self._reduce_metrics(metrics)
 
     def train_step_two_batch(
         self, state: GANTrainState, batch_d: dict, batch_g: dict
@@ -215,7 +235,7 @@ class Stage1Trainer:
         state, _, g_metrics = self._g_update(state, batch_g["image"], batch_g["future_image"])
         state = state.replace(step=state.step + 1)
         metrics = {**d_metrics, **g_metrics, "lr": self.lr_schedule(state.step)}
-        return state, metrics
+        return state, self._reduce_metrics(metrics)
 
     def train_step_multi(
         self, state: GANTrainState, batches: dict

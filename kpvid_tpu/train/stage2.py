@@ -24,12 +24,28 @@ from ..losses import (
 )
 from ..models import MotionGenerator, SeqDiscriminator
 from ..ops import pair_fns, resolve_pair_mode
-from .state import GANTrainState, make_lr_schedule, make_optimizer
+from .state import GANTrainState, make_lr_schedule, make_optimizer, make_reduce_hooks
 
 
 class Stage2Trainer:
-    def __init__(self, config: Config):
+    """`reduce_axis` / `reduce_axis_size`: set by parallel/dp_step.py when
+    the step runs INSIDE shard_map over that mesh axis — per-shard
+    gradients are explicitly pmean'd (in config.training.dp_grad_dtype;
+    'bfloat16' halves the ICI payload), metrics are pmean'd, and the VAE
+    noise is drawn for the GLOBAL batch then sliced by axis index, so the
+    noise stream is IDENTICAL to the whole-array jit step's. Stage 2 has
+    no BN, so this mode is exactly the jit-SPMD math up to grad rounding
+    and float reassociation (tested in tests/test_dp_step.py)."""
+
+    def __init__(
+        self,
+        config: Config,
+        reduce_axis: str | None = None,
+        reduce_axis_size: int = 1,
+    ):
         self.config = config
+        self.reduce_axis = reduce_axis
+        self.reduce_axis_size = reduce_axis_size
         m = config.model
         self.dtype = (
             jnp.bfloat16 if config.training.compute_dtype == "bfloat16" else jnp.float32
@@ -55,6 +71,25 @@ class Stage2Trainer:
         # seq-discriminator pair layout ('auto' resolves by device count)
         self.pair_mode = resolve_pair_mode(config.training.pair_batching)
         self._pair, self._unpair = pair_fns(self.pair_mode)
+        self._reduce_grads, self._reduce_metrics = make_reduce_hooks(
+            reduce_axis, config.training.dp_grad_dtype
+        )
+
+    def _make_noise(self, rng: jax.Array, b_local: int) -> jax.Array:
+        """VAE reparameterization noise for a (possibly per-shard) batch.
+
+        Under shard_map DP (reduce_axis set) every shard draws the noise
+        for the FULL global batch from the shared key and slices its own
+        rows — byte-identical to what the whole-array jit step draws, so
+        the two paths are numerically comparable (tests/test_dp_step.py).
+        The redundant [global_B, vae_dim] draw is a few KB per shard."""
+        if self.reduce_axis is None:
+            return jax.random.normal(rng, (b_local, self.vae_dim), jnp.float32)
+        full = jax.random.normal(
+            rng, (b_local * self.reduce_axis_size, self.vae_dim), jnp.float32
+        )
+        start = jax.lax.axis_index(self.reduce_axis) * b_local
+        return jax.lax.dynamic_slice_in_dim(full, start, b_local)
 
     # ---------------------------------------------------------------- init
     def init_state(self, rng: jax.Array) -> GANTrainState:
@@ -108,6 +143,7 @@ class Stage2Trainer:
         (loss_d, (d_real, d_fake)), grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
             state.d_params
         )
+        grads = self._reduce_grads(grads)
         updates, d_opt_state = self.d_opt.update(grads, state.d_opt_state, state.d_params)
         d_params = optax.apply_updates(state.d_params, updates)
         return state.replace(d_params=d_params, d_opt_state=d_opt_state), {
@@ -130,6 +166,7 @@ class Stage2Trainer:
         (loss_g, (pred_seq, recon, kl, adv)), grads = jax.value_and_grad(
             g_loss_fn, has_aux=True
         )(state.g_params)
+        grads = self._reduce_grads(grads)
         updates, g_opt_state = self.g_opt.update(grads, state.g_opt_state, state.g_params)
         g_params = optax.apply_updates(state.g_params, updates)
         state = state.replace(g_params=g_params, g_opt_state=g_opt_state)
@@ -145,11 +182,12 @@ class Stage2Trainer:
         self, state: GANTrainState, batch: dict, rng: jax.Array
     ) -> tuple[GANTrainState, dict]:
         first_pt, real_seq, act = self._flatten_batch(batch)
-        noise = jax.random.normal(rng, (first_pt.shape[0], self.vae_dim), jnp.float32)
+        noise = self._make_noise(rng, first_pt.shape[0])
         state, pred_seq, g_metrics = self._g_update(state, first_pt, real_seq, act, noise)
         state, d_metrics = self._d_update(state, real_seq, pred_seq)
         state = state.replace(step=state.step + 1)
-        return state, {**d_metrics, **g_metrics, "lr": self.lr_schedule(state.step)}
+        metrics = {**d_metrics, **g_metrics, "lr": self.lr_schedule(state.step)}
+        return state, self._reduce_metrics(metrics)
 
     def train_step_dg(
         self, state: GANTrainState, batch: dict, rng: jax.Array
@@ -159,31 +197,33 @@ class Stage2Trainer:
         VAE noise for the D and G forwards, like two_batch does."""
         rng_d, rng_g = jax.random.split(rng)
         first_pt, real_seq, act = self._flatten_batch(batch)
-        noise_d = jax.random.normal(rng_d, (first_pt.shape[0], self.vae_dim), jnp.float32)
+        noise_d = self._make_noise(rng_d, first_pt.shape[0])
         pred_d, _, _ = self.generator.apply(
             {"params": state.g_params}, real_seq, first_pt, act, noise_d
         )
         state, d_metrics = self._d_update(state, real_seq, pred_d)
-        noise_g = jax.random.normal(rng_g, (first_pt.shape[0], self.vae_dim), jnp.float32)
+        noise_g = self._make_noise(rng_g, first_pt.shape[0])
         state, _, g_metrics = self._g_update(state, first_pt, real_seq, act, noise_g)
         state = state.replace(step=state.step + 1)
-        return state, {**d_metrics, **g_metrics, "lr": self.lr_schedule(state.step)}
+        metrics = {**d_metrics, **g_metrics, "lr": self.lr_schedule(state.step)}
+        return state, self._reduce_metrics(metrics)
 
     def train_step_two_batch(
         self, state: GANTrainState, batch_d: dict, batch_g: dict, rng: jax.Array
     ) -> tuple[GANTrainState, dict]:
         rng_d, rng_g = jax.random.split(rng)
         first_d, real_d, act_d = self._flatten_batch(batch_d)
-        noise_d = jax.random.normal(rng_d, (first_d.shape[0], self.vae_dim), jnp.float32)
+        noise_d = self._make_noise(rng_d, first_d.shape[0])
         pred_d, _, _ = self.generator.apply(
             {"params": state.g_params}, real_d, first_d, act_d, noise_d
         )
         state, d_metrics = self._d_update(state, real_d, pred_d)
         first_g, real_g, act_g = self._flatten_batch(batch_g)
-        noise_g = jax.random.normal(rng_g, (first_g.shape[0], self.vae_dim), jnp.float32)
+        noise_g = self._make_noise(rng_g, first_g.shape[0])
         state, _, g_metrics = self._g_update(state, first_g, real_g, act_g, noise_g)
         state = state.replace(step=state.step + 1)
-        return state, {**d_metrics, **g_metrics, "lr": self.lr_schedule(state.step)}
+        metrics = {**d_metrics, **g_metrics, "lr": self.lr_schedule(state.step)}
+        return state, self._reduce_metrics(metrics)
 
     def train_step_multi(
         self, state: GANTrainState, batches: dict, rngs: jax.Array

@@ -47,3 +47,32 @@ def make_lr_schedule(lr_cfg: LRConfig) -> Callable:
 
 def make_optimizer(lr_cfg: LRConfig) -> optax.GradientTransformation:
     return optax.adam(make_lr_schedule(lr_cfg), b1=0.5, b2=0.999, eps=1e-8)
+
+
+def make_reduce_hooks(reduce_axis: str | None, grad_dtype: str):
+    """(reduce_grads, reduce_metrics) for shard_map data parallelism.
+
+    With `reduce_axis=None` both are identity (the ordinary jit-SPMD step:
+    XLA inserts the collectives itself). With an axis name — the trainers'
+    step functions then run INSIDE shard_map (parallel/dp_step.py) — the
+    per-shard gradients are explicitly cross-replica averaged in
+    `grad_dtype` ('bfloat16' halves the all-reduce payload, the dominant
+    ICI cost; docs/PERF.md "Multi-chip scaling") and cast back to the
+    param dtype for the replicated f32 Adam update; scalar metrics (local
+    batch means) are pmean'd in f32."""
+    if reduce_axis is None:
+        return (lambda g: g), (lambda m: m)
+    import jax
+
+    rdt = jnp.bfloat16 if grad_dtype == "bfloat16" else jnp.float32
+
+    def reduce_grads(grads):
+        return jax.tree.map(
+            lambda g: jax.lax.pmean(g.astype(rdt), reduce_axis).astype(g.dtype),
+            grads,
+        )
+
+    def reduce_metrics(metrics):
+        return {k: jax.lax.pmean(v, reduce_axis) for k, v in metrics.items()}
+
+    return reduce_grads, reduce_metrics

@@ -125,6 +125,27 @@ def test_stage2_train_cli_miniature(mini_stage2):
 
 
 @pytest.mark.slow
+def test_train_dp_bf16_cli(mini_env, mini_labels, tmp_path):
+    """training.dp_grad_dtype='bfloat16' through the REAL train.py on a
+    4-device CPU mesh: config load -> auto mesh -> the shard_map DP step
+    with the bf16 gradient all-reduce (parallel/dp_step.py) -> checkpoint.
+    Semantics equivalence is pinned in test_dp_step.py; this drives the
+    CLI wiring end-to-end."""
+    cfg = tmp_path / "cfg.yaml"
+    base = (mini_env / "cfg.yaml").read_text()
+    assert f"log_dir: '{mini_env}/results'" in base
+    cfg.write_text(
+        base.replace(f"log_dir: '{mini_env}/results'", f"log_dir: '{tmp_path}/results'")
+        .replace("compute_dtype: 'float32'",
+                 "compute_dtype: 'float32'\n  dp_grad_dtype: 'bfloat16'")
+    )
+    run(["train.py", "--mode", "motion_generator", "--config", str(cfg),
+         "--max-steps", "2", "--no-images"], n_devices=4)
+    out = tmp_path / "results" / "motion_generator"
+    assert list(out.glob("ckpt-*")), "dp-bf16 stage-2 checkpoint not written"
+
+
+@pytest.mark.slow
 def test_labeler_two_process_matches_single(mini_env, mini_labels):
     """Multi-host pseudo-labeling: two coordinated processes (strided
     video shards, shared output dir, coordination barriers, no

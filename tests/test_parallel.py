@@ -194,6 +194,25 @@ class TestCollectiveInventory:
         assert inv.bytes["all-reduce"] == 4
         assert collective_inventory("").total_ops == 0
 
+    def test_tpu_tuple_shape_with_layout_parens(self):
+        """TPU optimized HLO fuses many gradients into ONE tuple-shaped
+        all-reduce whose element layouts nest parens — e.g.
+        {1,0:T(8,128)S(1)} — and carry /*index=N*/ comments. The parser
+        must span the whole tuple, not stop at the first ')'."""
+        from kpvid_tpu.parallel import collective_inventory
+
+        hlo = (
+            "  %all-reduce.36 = (f32[32]{0:T(128)S(1)}, "
+            "f32[32,32]{1,0:T(8,128)S(1)}, /*index=2*/bf16[96,256]"
+            "{1,0:T(8,128)(2,1)S(1)}) all-reduce(%a, %b, %c), "
+            "channel_id=1, replica_groups={{0,1,2,3,4,5,6,7}}, "
+            "use_global_device_ids=true, to_apply=%region_0.0\n"
+        )
+        inv = collective_inventory(hlo)
+        assert inv.counts == {"all-reduce": 1}
+        assert inv.bytes["all-reduce"] == 32 * 4 + 32 * 32 * 4 + 96 * 256 * 2
+        assert inv.group_sizes == {8: 1}
+
 
 @pytest.mark.slow
 class TestProductionWidthCollectives:
@@ -252,6 +271,34 @@ class TestProductionWidthCollectives:
         multi-chip serving scales linearly by construction."""
         _, inv = self._compile(["serving"], n_data=8, n_model=1)
         assert inv.total_ops == 0, inv.counts
+
+    def test_stage1_dp_bf16_allreduce_only(self):
+        """The shard_map bf16-grad-reduce stage-1 step (parallel/dp_step)
+        at production widths: ALL-REDUCE ONLY — its collectives are the
+        explicit grad/BN pmeans, so no resharding can sneak in at any
+        width (vs the jit path, whose collective set is the partitioner's
+        choice). Byte halving itself is asserted on the TPU backend in
+        test_dp_step.py::TestWireDtype (the CPU backend promotes bf16
+        all-reduces to f32, so only the op-set is checkable here)."""
+        import sys as _sys
+        from pathlib import Path as _Path
+
+        _sys.path.insert(0, str(_Path(__file__).resolve().parent.parent / "tools"))
+        from multichip_cost import build_cases
+
+        from kpvid_tpu.configs import Config
+        from kpvid_tpu.parallel import inventory_compiled
+
+        config = Config()
+        config.training.dp_grad_dtype = "bfloat16"
+        (name, make), = build_cases(config, ["stage1_dp"])
+        assert name == "stage1_dp_bf16"
+        mesh = make_mesh(n_data=8, n_model=1)
+        fn, fn_args = make(mesh, 1024)
+        inv = inventory_compiled(fn.lower(*fn_args).compile())
+        assert inv.ops_other_than("all-reduce") == {}, inv.counts
+        assert inv.counts.get("all-reduce", 0) > 0
+        assert set(inv.group_sizes) == {8}, inv.group_sizes
 
 
 @pytest.mark.slow

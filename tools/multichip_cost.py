@@ -15,7 +15,19 @@ v5e ICI bandwidth. Results: docs/PERF.md "Multi-chip scaling".
 
 Usage:
     python tools/multichip_cost.py [--devices 8] [--batch 16]
-        [--min-shard 1024] [--json out.json] [--graphs stage1,stage2,serving]
+        [--min-shard 1024] [--json out.json]
+        [--graphs stage1,stage2,serving,stage1_dp,stage2_dp]
+        [--dp-grad-dtype bfloat16] [--topology v5e:2x4]
+
+Graphs `stage1_dp` / `stage2_dp` price the shard_map DP step with the
+explicit gradient all-reduce (kpvid_tpu/parallel/dp_step.py) in
+--dp-grad-dtype; 'bfloat16' halves the gradient bytes ON THE TPU BACKEND.
+NOTE the CPU backend's all-reduce-promotion pass upcasts small-dtype
+all-reduces to f32 accumulation, so bf16 wire savings are only visible
+with --topology, which AOT-compiles against a deviceless TPU topology
+(jax.experimental.topologies; needs libtpu but NO devices) — the
+authoritative v5e numbers in docs/PERF.md come from
+`--topology v5e:2x4`.
 
 Shapes are abstract (jax.eval_shape / ShapeDtypeStruct) — nothing big is
 materialized and nothing executes; a run costs only XLA compiles (cached in
@@ -144,6 +156,67 @@ def build_cases(config, graphs):
 
         cases.append(("serving", make_serving))
 
+    # shard_map DP steps with the explicit grad all-reduce in
+    # config.training.dp_grad_dtype (parallel/dp_step.py). Pure-DP only —
+    # main() skips these on meshes with a 'model' axis.
+    dp_tag = "bf16" if config.training.dp_grad_dtype == "bfloat16" else "f32"
+
+    if "stage1_dp" in graphs:
+        from kpvid_tpu.parallel import make_dp_reduce_step
+
+        s1dp = Stage1Trainer(config, synthesize_vgg19_params())
+        state1dp = jax.eval_shape(s1dp.init_state, jax.random.PRNGKey(0))
+
+        def make_s1dp(mesh, min_shard, state1dp=state1dp):
+            del min_shard  # params replicated under pure DP
+            step = make_dp_reduce_step(
+                config, mesh, stage=1, vgg_params=synthesize_vgg19_params()
+            )
+            repl = NamedSharding(mesh, P())
+            state_sds = jax.tree.map(
+                lambda sd: jax.ShapeDtypeStruct(sd.shape, sd.dtype, sharding=repl),
+                state1dp,
+            )
+            bsh = batch_sharding(mesh)
+            batch = {
+                k: jax.ShapeDtypeStruct(
+                    (b, m.image_size, m.image_size, 3), np.float32, sharding=bsh
+                )
+                for k in ("image", "future_image")
+            }
+            return step, (state_sds, batch)
+
+        cases.append((f"stage1_dp_{dp_tag}", make_s1dp))
+
+    if "stage2_dp" in graphs:
+        from kpvid_tpu.parallel import make_dp_reduce_step
+
+        s2dp = Stage2Trainer(config)
+        state2dp = jax.eval_shape(s2dp.init_state, jax.random.PRNGKey(0))
+
+        def make_s2dp(mesh, min_shard, state2dp=state2dp):
+            del min_shard
+            step = make_dp_reduce_step(config, mesh, stage=2)
+            repl = NamedSharding(mesh, P())
+            state_sds = jax.tree.map(
+                lambda sd: jax.ShapeDtypeStruct(sd.shape, sd.dtype, sharding=repl),
+                state2dp,
+            )
+            bsh = batch_sharding(mesh)
+            batch = {
+                "image": jax.ShapeDtypeStruct(
+                    (b, m.image_size, m.image_size, 3), np.float32, sharding=bsh
+                ),
+                "keypoints": jax.ShapeDtypeStruct((b, m.n_pts, 2), np.float32, sharding=bsh),
+                "real_seq": jax.ShapeDtypeStruct(
+                    (b, m.n_future_frames, m.n_pts, 2), np.float32, sharding=bsh
+                ),
+                "action_code": jax.ShapeDtypeStruct((b, m.n_action), np.float32, sharding=bsh),
+            }
+            return step, (state_sds, batch, jax.random.PRNGKey(1))
+
+        cases.append((f"stage2_dp_{dp_tag}", make_s2dp))
+
     return cases
 
 
@@ -156,16 +229,36 @@ def main() -> int:
     ap.add_argument("--meshes", default=None,
                     help="comma list like 8x1,4x2 (default: Nx1 and N/2x2)")
     ap.add_argument("--json", default=None, help="write results to this path")
+    ap.add_argument("--dp-grad-dtype", default="bfloat16",
+                    choices=("float32", "bfloat16"),
+                    help="reduction dtype for the stage1_dp/stage2_dp graphs")
+    ap.add_argument("--topology", default=None,
+                    help="compile against a deviceless TPU topology (e.g. "
+                         "'v5e:2x4') instead of virtual CPU devices — needs "
+                         "libtpu, shows the REAL wire dtypes (bf16 "
+                         "all-reduces; the CPU backend promotes them to f32)")
     args = ap.parse_args()
 
-    flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + f" --xla_force_host_platform_device_count={args.devices}"
-        ).strip()
-    import jax
+    topo_devices = None
+    if args.topology:
+        import jax
+        from jax.experimental import topologies
 
-    jax.config.update("jax_platforms", "cpu")
+        topo = topologies.get_topology_desc(
+            platform="tpu", topology_name=args.topology
+        )
+        topo_devices = list(topo.devices)
+        args.devices = len(topo_devices)
+        _log(f"TPU topology {args.topology}: {args.devices} devices (no hardware)")
+    else:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={args.devices}"
+            ).strip()
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from kpvid_tpu.utils.cache import (
         enable_compilation_cache,
@@ -181,6 +274,15 @@ def main() -> int:
     config = Config()
     if args.batch:
         config.training.batch_size = args.batch
+    config.training.dp_grad_dtype = args.dp_grad_dtype
+    # Pin the pair layout to what a production MULTI-CHIP run resolves:
+    # 'auto' resolves by the VISIBLE device count, and this pricing process
+    # sees the host's devices (1 under --topology), not the mesh being
+    # priced — 'auto' would silently price the 'concat' layout, whose
+    # cross-shard resharding is exactly what interleave exists to avoid
+    # (measured: +289 MB/step of collective-permute on the v5e stage-1
+    # graph). ops/batching.py has the full story.
+    config.training.pair_batching = "interleave"
     n = args.devices
     if args.meshes:
         meshes = [tuple(int(x) for x in s.split("x")) for s in args.meshes.split(",")]
@@ -197,7 +299,11 @@ def main() -> int:
     results = []
     for name, make in cases:
         for n_data, n_model in meshes:
-            mesh = make_mesh(n_data=n_data, n_model=n_model)
+            if "_dp_" in name and n_model != 1:
+                continue  # the shard_map DP step is pure-DP by design
+            mesh = make_mesh(
+                n_data=n_data, n_model=n_model, devices=topo_devices
+            )
             fn, fn_args = make(mesh, args.min_shard)
             t0 = time.time()
             compiled = fn.lower(*fn_args).compile()

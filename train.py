@@ -204,12 +204,37 @@ def main():
     fused_dg = t_cfg.gan_step_mode == "fused_dg"
     start_step = int(state.step)
 
+    # comm-efficient DP (training.dp_grad_dtype='bfloat16'): swap the
+    # jit-SPMD step for the shard_map step with explicit bf16 gradient
+    # all-reduce — HALF the ICI bytes per step; sync-BN and a global-batch
+    # noise stream keep the semantics (kpvid_tpu/parallel/dp_step.py,
+    # docs/PERF.md "Multi-chip scaling"). Same state pytree/checkpoints.
+    base_train_step = None
+    if mesh is not None and t_cfg.dp_grad_dtype == "bfloat16":
+        if mesh.shape["model"] != 1:
+            raise ValueError(
+                "training.dp_grad_dtype='bfloat16' is pure-DP only; got a "
+                f"'model' axis of size {mesh.shape['model']}"
+            )
+        from kpvid_tpu.parallel import make_dp_reduce_step
+
+        if args.mode == "detector_translator":
+            base_train_step = make_dp_reduce_step(
+                config, mesh, stage=1, vgg_params=vgg_params
+            )
+        else:
+            base_train_step = make_dp_reduce_step(config, mesh, stage=2)
+        logger.info(
+            "dp_grad_dtype=bfloat16: shard_map DP step, bf16 grad all-reduce"
+        )
+
     # multi-process: AOT-compile each step program and re-sync all
     # processes before its first execution, so cross-host compile skew
     # can't trip the backend's first-collective rendezvous window
     # (parallel.synced_compile; identity when single-process)
     train_step = synced_compile(
-        trainer.jitted_train_step_two_batch if two_batch
+        base_train_step if base_train_step is not None
+        else trainer.jitted_train_step_two_batch if two_batch
         else trainer.jitted_train_step_dg if fused_dg
         else trainer.jitted_train_step,
         f"{args.mode}_train",
