@@ -34,6 +34,18 @@ class LRConfig:
     start_val: float = 1e-4
     step: int = 20_000
     decay: float = 0.95
+    # DP batch-scaling knobs (no reference equivalent — single device,
+    # fixed batch). The round-3 equal-step control (docs/PERF.md) showed
+    # per-step learning is batch-insensitive at the reference's fixed lr,
+    # so scaling the global batch across chips without scaling lr wastes
+    # the extra examples. The canonical recipe (linear scaling + warmup):
+    #   scale: multiply start_val by the batch growth factor k
+    #          (e.g. 8 for 8-way DP at the same per-chip batch),
+    #   warmup_steps: ramp the lr linearly 0 -> scaled value over the
+    #          first N steps to keep early Adam steps stable at large k.
+    # Defaults leave the reference schedule bit-identical.
+    scale: float = 1.0
+    warmup_steps: int = 0
 
 
 @dataclasses.dataclass
@@ -234,6 +246,10 @@ class Config:
             raise ValueError(f"unknown compute_dtype {t.compute_dtype!r}")
         if t.dp_grad_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"unknown dp_grad_dtype {t.dp_grad_dtype!r}")
+        if t.lr.scale <= 0:
+            raise ValueError("training.lr.scale must be positive")
+        if t.lr.warmup_steps < 0:
+            raise ValueError("training.lr.warmup_steps must be >= 0")
         if t.dp_grad_dtype == "bfloat16" and self.parallel.mesh_model > 1:
             raise ValueError(
                 "training.dp_grad_dtype='bfloat16' is pure-DP only "

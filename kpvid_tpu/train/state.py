@@ -37,12 +37,30 @@ class GANTrainState:
 
 
 def make_lr_schedule(lr_cfg: LRConfig) -> Callable:
-    return optax.exponential_decay(
-        init_value=lr_cfg.start_val,
+    """Reference schedule x the DP batch-scaling knobs.
+
+    Base: tf.train.exponential_decay(start*scale, 20000, 0.95,
+    staircase=False). `warmup_steps` multiplies the base by
+    min(1, (step+1)/warmup) — a linear ramp to the scaled value with the
+    decay clock running on the full step count (the Goyal et al. linear
+    scaling + warmup recipe for large-batch DP; configs/config.py
+    LRConfig). Defaults (scale=1, warmup=0) reproduce the reference
+    schedule bit-for-bit."""
+    base = optax.exponential_decay(
+        init_value=lr_cfg.start_val * lr_cfg.scale,
         transition_steps=lr_cfg.step,
         decay_rate=lr_cfg.decay,
         staircase=False,
     )
+    if lr_cfg.warmup_steps <= 0:
+        return base
+    warmup = float(lr_cfg.warmup_steps)
+
+    def schedule(step):
+        ramp = jnp.minimum(1.0, (jnp.asarray(step, jnp.float32) + 1.0) / warmup)
+        return base(step) * ramp
+
+    return schedule
 
 
 def make_optimizer(lr_cfg: LRConfig) -> optax.GradientTransformation:

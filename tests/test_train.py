@@ -253,6 +253,35 @@ class TestStage1:
             expect = lr_cfg.start_val * lr_cfg.decay ** (step / lr_cfg.step)
             assert float(trainer.lr_schedule(step)) == pytest.approx(expect, rel=1e-5)
 
+    def test_lr_scale_and_warmup(self):
+        """DP batch-scaling knobs (lr.scale / lr.warmup_steps; no reference
+        equivalent): linear warmup to the k-scaled value, decay clock on
+        the full step count; defaults reproduce the reference schedule."""
+        from kpvid_tpu.configs import LRConfig
+        from kpvid_tpu.train.state import make_lr_schedule
+
+        base_cfg = LRConfig()
+        scaled = make_lr_schedule(LRConfig(scale=8.0, warmup_steps=500))
+        base = make_lr_schedule(base_cfg)
+        # mid-warmup: ramp factor (step+1)/warmup on the scaled decay curve
+        got = float(scaled(249))
+        expect = 8.0 * float(base(249)) * (250 / 500)
+        assert got == pytest.approx(expect, rel=1e-5)
+        # past warmup: exactly k x the reference schedule
+        for step in (500, 10_000, 50_000):
+            assert float(scaled(step)) == pytest.approx(8.0 * float(base(step)), rel=1e-5)
+        # warmup without scale ramps to the reference value
+        w = make_lr_schedule(LRConfig(warmup_steps=100))
+        assert float(w(0)) == pytest.approx(float(base(0)) / 100, rel=1e-5)
+        assert float(w(1_000)) == pytest.approx(float(base(1_000)), rel=1e-5)
+        # validation
+        from kpvid_tpu.configs import Config, TrainingConfig
+
+        with pytest.raises(ValueError, match="lr.scale"):
+            Config(training=TrainingConfig(lr=LRConfig(scale=0.0))).validate()
+        with pytest.raises(ValueError, match="warmup_steps"):
+            Config(training=TrainingConfig(lr=LRConfig(warmup_steps=-1))).validate()
+
 
 class TestStage2:
     @pytest.fixture(scope="class")
