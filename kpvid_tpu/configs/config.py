@@ -122,6 +122,14 @@ class TrainingConfig:
     #   (equivalence-tested in tests/test_dp_step.py). Pure-DP only
     #   (parallel.mesh_model must be 1).
     dp_grad_dtype: str = "float32"
+    # Gradient accumulation: K microbatches of batch_size/K rows per
+    # optimizer update ('fused' step mode only). Activation memory of a
+    # K-times-smaller forward at the same global batch. Stage-2: exactly
+    # the full-batch step (no BN, noise split from one draw). Stage-1:
+    # standard grad-accum BN semantics (per-micro statistics, EMA applied
+    # K times/step). Composes with dp_grad_dtype (reduction happens once,
+    # on the averaged grads). See train/stage1.py::train_step_accum.
+    grad_accum: int = 1
 
 
 @dataclasses.dataclass
@@ -250,6 +258,19 @@ class Config:
             raise ValueError("training.lr.scale must be positive")
         if t.lr.warmup_steps < 0:
             raise ValueError("training.lr.warmup_steps must be >= 0")
+        if t.grad_accum < 1:
+            raise ValueError("training.grad_accum must be >= 1")
+        if t.grad_accum > 1:
+            if t.batch_size % t.grad_accum:
+                raise ValueError(
+                    f"batch_size ({t.batch_size}) must divide "
+                    f"grad_accum ({t.grad_accum})"
+                )
+            if t.gan_step_mode != "fused":
+                raise ValueError(
+                    "grad_accum > 1 implements the 'fused' step semantics "
+                    f"only (got gan_step_mode={t.gan_step_mode!r})"
+                )
         if t.dp_grad_dtype == "bfloat16" and self.parallel.mesh_model > 1:
             raise ValueError(
                 "training.dp_grad_dtype='bfloat16' is pure-DP only "

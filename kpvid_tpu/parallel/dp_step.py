@@ -101,8 +101,16 @@ def make_dp_reduce_step(
     else:
         raise ValueError(f"stage must be 1 or 2, got {stage!r}")
 
+    # grad_accum composes: the accum step calls self._reduce_grads ONCE on
+    # the K-micro average, so the cross-replica traffic stays one set of
+    # grad bytes per optimizer update regardless of K
+    fused_step = (
+        trainer.train_step_accum
+        if config.training.grad_accum > 1
+        else trainer.train_step
+    )
     fn = {
-        "fused": trainer.train_step,
+        "fused": fused_step,
         "fused_dg": trainer.train_step_dg,
         "two_batch": trainer.train_step_two_batch,
     }[mode]

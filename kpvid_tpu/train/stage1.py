@@ -151,13 +151,16 @@ class Stage1Trainer:
         logits = self.discriminator.apply({"params": d_params}, both)
         return self._unpair(logits)
 
+    def _d_loss(self, d_params, real, fake):
+        real_logit, fake_logit = self._d_logits(
+            d_params, real, jax.lax.stop_gradient(fake)
+        )
+        loss, d_real, d_fake = discriminator_loss(real_logit, fake_logit)
+        return loss, (d_real, d_fake)
+
     def _d_update(self, state: GANTrainState, real, fake):
         def d_loss_fn(d_params):
-            real_logit, fake_logit = self._d_logits(
-                d_params, real, jax.lax.stop_gradient(fake)
-            )
-            loss, d_real, d_fake = discriminator_loss(real_logit, fake_logit)
-            return loss, (d_real, d_fake)
+            return self._d_loss(d_params, real, fake)
 
         (loss_d, (d_real, d_fake)), grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
             state.d_params
@@ -171,18 +174,19 @@ class Stage1Trainer:
             "D_fake": d_fake,
         }
 
+    def _g_loss(self, g_params, d_params, batch_stats, im, future_im):
+        out, new_stats = self._g_forward(g_params, batch_stats, im, future_im, train=True)
+        fake = out["final"]
+        fake_logit = self.discriminator.apply({"params": d_params}, fake)
+        recon = self._recon_loss(
+            self.vgg_params, _to_0_255(future_im), _to_0_255(fake)
+        )
+        adv = generator_adv_loss(fake_logit)
+        return recon + adv, (fake, new_stats, recon, adv)
+
     def _g_update(self, state: GANTrainState, im, future_im):
         def g_loss_fn(g_params):
-            out, new_stats = self._g_forward(
-                g_params, state.batch_stats, im, future_im, train=True
-            )
-            fake = out["final"]
-            fake_logit = self.discriminator.apply({"params": state.d_params}, fake)
-            recon = self._recon_loss(
-                self.vgg_params, _to_0_255(future_im), _to_0_255(fake)
-            )
-            adv = generator_adv_loss(fake_logit)
-            return recon + adv, (fake, new_stats, recon, adv)
+            return self._g_loss(g_params, state.d_params, state.batch_stats, im, future_im)
 
         (loss_g, (fake, new_stats, recon, adv)), grads = jax.value_and_grad(
             g_loss_fn, has_aux=True
@@ -259,6 +263,80 @@ class Stage1Trainer:
 
         return jax.lax.scan(body, state, batches)
 
+    def train_step_accum(
+        self, state: GANTrainState, batch: dict
+    ) -> tuple[GANTrainState, dict]:
+        """Gradient accumulation: ONE fused D+G update from
+        config.training.grad_accum microbatches of batch_size/K rows —
+        activation memory of a K-times-smaller forward at the same global
+        batch (no reference counterpart; single device, fixed batch).
+
+        Semantics match train_step's 'fused' convention: every micro's G
+        loss is taken against the PRE-update D and every micro's D loss
+        against the PRE-update G's fakes; gradients are averaged over the
+        micros (mean of per-micro means = the full-batch mean), then one
+        Adam update each. Stage-2's variant is numerically the full-batch
+        step (no BN; tested). Stage-1's BN differs by design: each micro
+        normalizes with its OWN statistics and the running stats apply
+        the EMA K times per step (the standard grad-accum BN behavior) —
+        so K>1 is a deliberate approximation here, like everywhere else.
+        Composes with the shard_map DP step: the explicit cross-replica
+        reduction happens ONCE on the averaged grads, not per micro
+        (parallel/dp_step.py routes 'fused' here when grad_accum > 1)."""
+        K = self.config.training.grad_accum
+        b = batch["image"].shape[0]
+        if b % K:
+            raise ValueError(f"batch ({b} rows) must divide grad_accum={K}")
+        micros = jax.tree.map(lambda x: x.reshape(K, b // K, *x.shape[1:]), batch)
+
+        g_vg = jax.value_and_grad(self._g_loss, has_aux=True)
+
+        def g_body(carry, micro):
+            acc, stats = carry
+            (loss, (fake, new_stats, recon, adv)), grads = g_vg(
+                state.g_params, state.d_params, stats,
+                micro["image"], micro["future_image"],
+            )
+            acc = jax.tree.map(jnp.add, acc, grads)
+            ms = {"loss_G": loss, "reconstruction_metric": recon, "G_adv_loss": adv}
+            return (acc, new_stats), (fake, ms)
+
+        zero_g = jax.tree.map(jnp.zeros_like, state.g_params)
+        (g_acc, new_stats), (fakes, g_ms) = jax.lax.scan(
+            g_body, (zero_g, state.batch_stats), micros
+        )
+        g_grads = self._reduce_grads(jax.tree.map(lambda a: a / K, g_acc))
+        updates, g_opt_state = self.g_opt.update(g_grads, state.g_opt_state, state.g_params)
+        g_params = optax.apply_updates(state.g_params, updates)
+
+        d_vg = jax.value_and_grad(self._d_loss, has_aux=True)
+
+        def d_body(acc, xs):
+            micro, fake = xs
+            (loss_d, (d_real, d_fake)), grads = d_vg(
+                state.d_params, micro["future_image"], fake
+            )
+            ms = {"loss_D": loss_d, "D_real": d_real, "D_fake": d_fake}
+            return jax.tree.map(jnp.add, acc, grads), ms
+
+        zero_d = jax.tree.map(jnp.zeros_like, state.d_params)
+        d_acc, d_ms = jax.lax.scan(d_body, zero_d, (micros, fakes))
+        d_grads = self._reduce_grads(jax.tree.map(lambda a: a / K, d_acc))
+        updates_d, d_opt_state = self.d_opt.update(d_grads, state.d_opt_state, state.d_params)
+        d_params = optax.apply_updates(state.d_params, updates_d)
+
+        state = state.replace(
+            step=state.step + 1,
+            g_params=g_params,
+            d_params=d_params,
+            batch_stats=new_stats,
+            g_opt_state=g_opt_state,
+            d_opt_state=d_opt_state,
+        )
+        metrics = {k: jnp.mean(v) for k, v in {**d_ms, **g_ms}.items()}
+        metrics["lr"] = self.lr_schedule(state.step)
+        return state, self._reduce_metrics(metrics)
+
     # ----------------------------------------------------------- evaluation
     def eval_step(self, state: GANTrainState, batch: dict) -> dict:
         """Losses + fidelity metrics on a test batch. BN mode follows
@@ -307,6 +385,10 @@ class Stage1Trainer:
     @functools.cached_property
     def jitted_train_step_multi(self):
         return jax.jit(self.train_step_multi, donate_argnums=(0,))
+
+    @functools.cached_property
+    def jitted_train_step_accum(self):
+        return jax.jit(self.train_step_accum, donate_argnums=(0,))
 
     @functools.cached_property
     def jitted_eval_step(self):

@@ -131,14 +131,17 @@ class Stage2Trainer:
         real_seq = batch["real_seq"].reshape(b, batch["real_seq"].shape[1], -1)
         return first_pt, real_seq, batch["action_code"]
 
+    def _d_loss(self, d_params, real_seq, pred_seq):
+        # 2B rows, layout per self.pair_mode (ops/batching.py)
+        both = self._pair(real_seq, jax.lax.stop_gradient(pred_seq))
+        logits = self.discriminator.apply({"params": d_params}, both)
+        real_logit, fake_logit = self._unpair(logits)
+        loss, d_real, d_fake = discriminator_loss(real_logit, fake_logit)
+        return loss, (d_real, d_fake)
+
     def _d_update(self, state: GANTrainState, real_seq, pred_seq):
         def d_loss_fn(d_params):
-            # 2B rows, layout per self.pair_mode (ops/batching.py)
-            both = self._pair(real_seq, jax.lax.stop_gradient(pred_seq))
-            logits = self.discriminator.apply({"params": d_params}, both)
-            real_logit, fake_logit = self._unpair(logits)
-            loss, d_real, d_fake = discriminator_loss(real_logit, fake_logit)
-            return loss, (d_real, d_fake)
+            return self._d_loss(d_params, real_seq, pred_seq)
 
         (loss_d, (d_real, d_fake)), grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
             state.d_params
@@ -152,16 +155,19 @@ class Stage2Trainer:
             "D_fake": d_fake,
         }
 
+    def _g_loss(self, g_params, d_params, first_pt, real_seq, act, noise):
+        pred_seq, mu, stddev = self.generator.apply(
+            {"params": g_params}, real_seq, first_pt, act, noise
+        )
+        fake_logit = self.discriminator.apply({"params": d_params}, pred_seq)
+        recon = seq_recon_loss(pred_seq, real_seq)
+        kl = kl_raw_sigma(mu, stddev)
+        adv = generator_adv_loss(fake_logit)
+        return kl + recon + adv, (pred_seq, recon, kl, adv)
+
     def _g_update(self, state: GANTrainState, first_pt, real_seq, act, noise):
         def g_loss_fn(g_params):
-            pred_seq, mu, stddev = self.generator.apply(
-                {"params": g_params}, real_seq, first_pt, act, noise
-            )
-            fake_logit = self.discriminator.apply({"params": state.d_params}, pred_seq)
-            recon = seq_recon_loss(pred_seq, real_seq)
-            kl = kl_raw_sigma(mu, stddev)
-            adv = generator_adv_loss(fake_logit)
-            return kl + recon + adv, (pred_seq, recon, kl, adv)
+            return self._g_loss(g_params, state.d_params, first_pt, real_seq, act, noise)
 
         (loss_g, (pred_seq, recon, kl, adv)), grads = jax.value_and_grad(
             g_loss_fn, has_aux=True
@@ -247,6 +253,67 @@ class Stage2Trainer:
 
         return jax.lax.scan(body, state, (batches, rngs))
 
+    def train_step_accum(
+        self, state: GANTrainState, batch: dict, rng: jax.Array
+    ) -> tuple[GANTrainState, dict]:
+        """Gradient accumulation over config.training.grad_accum
+        microbatches (see Stage1Trainer.train_step_accum). Stage 2 has no
+        BN and the noise is drawn once for the full batch then split, so
+        this step is NUMERICALLY the full-batch fused step (mean of
+        per-micro gradients = the full-batch gradient; tested in
+        test_train.py::TestGradAccum to float-reassociation precision)."""
+        K = self.config.training.grad_accum
+        first_pt, real_seq, act = self._flatten_batch(batch)
+        b = first_pt.shape[0]
+        if b % K:
+            raise ValueError(f"batch ({b} rows) must divide grad_accum={K}")
+        noise = self._make_noise(rng, b)
+
+        def resh(x):
+            return x.reshape(K, b // K, *x.shape[1:])
+
+        xs = tuple(map(resh, (first_pt, real_seq, act, noise)))
+        g_vg = jax.value_and_grad(self._g_loss, has_aux=True)
+
+        def g_body(acc, micro):
+            first, real, a, nz = micro
+            (loss, (pred, recon, kl, adv)), grads = g_vg(
+                state.g_params, state.d_params, first, real, a, nz
+            )
+            ms = {"loss_G": loss, "recon_loss": recon, "kl_loss": kl, "G_adv_loss": adv}
+            return jax.tree.map(jnp.add, acc, grads), (pred, ms)
+
+        zero_g = jax.tree.map(jnp.zeros_like, state.g_params)
+        g_acc, (preds, g_ms) = jax.lax.scan(g_body, zero_g, xs)
+        g_grads = self._reduce_grads(jax.tree.map(lambda a: a / K, g_acc))
+        updates, g_opt_state = self.g_opt.update(g_grads, state.g_opt_state, state.g_params)
+        g_params = optax.apply_updates(state.g_params, updates)
+
+        d_vg = jax.value_and_grad(self._d_loss, has_aux=True)
+
+        def d_body(acc, micro):
+            real, pred = micro
+            (loss_d, (d_real, d_fake)), grads = d_vg(state.d_params, real, pred)
+            ms = {"loss_D": loss_d, "D_real": d_real, "D_fake": d_fake}
+            return jax.tree.map(jnp.add, acc, grads), ms
+
+        zero_d = jax.tree.map(jnp.zeros_like, state.d_params)
+        d_acc, d_ms = jax.lax.scan(d_body, zero_d, (xs[1], preds))
+        d_grads = self._reduce_grads(jax.tree.map(lambda a: a / K, d_acc))
+        updates_d, d_opt_state = self.d_opt.update(d_grads, state.d_opt_state, state.d_params)
+        d_params = optax.apply_updates(state.d_params, updates_d)
+
+        state = state.replace(
+            step=state.step + 1,
+            g_params=g_params,
+            d_params=d_params,
+            g_opt_state=g_opt_state,
+            d_opt_state=d_opt_state,
+        )
+        metrics = {k: jnp.mean(v) for k, v in {**d_ms, **g_ms}.items()}
+        metrics["lr"] = self.lr_schedule(state.step)
+        return state, self._reduce_metrics(metrics)
+
     # ----------------------------------------------------------- evaluation
     def eval_step(self, state: GANTrainState, batch: dict, rng: jax.Array) -> dict:
         first_pt, real_seq, act = self._flatten_batch(batch)
@@ -305,6 +372,10 @@ class Stage2Trainer:
     @functools.cached_property
     def jitted_train_step_multi(self):
         return jax.jit(self.train_step_multi, donate_argnums=(0,))
+
+    @functools.cached_property
+    def jitted_train_step_accum(self):
+        return jax.jit(self.train_step_accum, donate_argnums=(0,))
 
     @functools.cached_property
     def jitted_eval_step(self):

@@ -187,6 +187,39 @@ class TestStage2DpStep:
         _assert_metrics_close(metrics, ref_metrics, atol=1e-4)
         assert _max_diff(new.g_params, ref_state.g_params) < 1e-5
 
+    def test_grad_accum_composes(self, mesh):
+        """grad_accum under the dp step: each shard accumulates K local
+        micros, then ONE cross-replica reduction of the averaged grads.
+        For stage 2 the total gradient is the full-batch mean under ANY
+        (shard, micro) partition of the rows, and the noise is row-
+        indexed, so the dp-accum step must match the single-device plain
+        fused step on the same global batch."""
+        import dataclasses
+
+        from kpvid_tpu.train.stage2 import Stage2Trainer
+
+        cfg = _config("float32")
+        cfg = dataclasses.replace(
+            cfg,
+            training=dataclasses.replace(cfg.training, batch_size=16, grad_accum=2),
+        ).validate()
+        trainer = Stage2Trainer(cfg)
+        state = trainer.init_state(jax.random.PRNGKey(1))
+        rng = np.random.default_rng(8)
+        batch = _stage2_batch(rng, cfg.model, b=16)
+        key = jax.random.PRNGKey(3)
+        ref_state, ref_m = jax.jit(trainer.train_step)(
+            jax.tree.map(jnp.copy, state), batch, key
+        )
+        dp = make_dp_reduce_step(cfg, mesh, stage=2)
+        new, m = dp(shard_state(mesh, state), shard_batch(mesh, batch), key)
+        _assert_metrics_close(m, ref_m, atol=1e-4)
+        for ref_p, new_p in (
+            (ref_state.g_params, new.g_params),
+            (ref_state.d_params, new.d_params),
+        ):
+            assert _max_diff(new_p, ref_p) <= 2.05 * LR
+
 
 @pytest.mark.slow
 class TestStage1DpStep:

@@ -479,3 +479,105 @@ class TestPairBatchingEquivalence:
         )
         with pytest.raises(ValueError):
             bad.validate()
+
+
+class TestGradAccum:
+    """training.grad_accum: K-microbatch gradient accumulation of the
+    fused update (train_step_accum). Stage 2 must equal the full-batch
+    step (no BN; one noise draw split across micros); stage 1 is the
+    standard approximate grad-accum-with-BN semantics."""
+
+    def _assert_adam_envelope(self, a, b, lr):
+        total, count = 0.0, 0
+        for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+            d = np.abs(np.asarray(x, np.float32) - np.asarray(y, np.float32))
+            assert d.max() <= 2.05 * lr, d.max()
+            total += float(d.sum())
+            count += d.size
+        assert total / count < 0.05 * lr, total / count
+
+    def test_stage2_accum_matches_full_batch(self):
+        import dataclasses
+
+        cfg = tiny_config()
+        cfg = dataclasses.replace(
+            cfg,
+            training=dataclasses.replace(cfg.training, batch_size=8, grad_accum=4),
+        ).validate()
+        trainer = Stage2Trainer(cfg)
+        state = trainer.init_state(jax.random.PRNGKey(1))
+        m = cfg.model
+        rng = np.random.default_rng(5)
+        batch = {
+            "keypoints": jnp.asarray(rng.uniform(-1, 1, (8, m.n_pts, 2)), jnp.float32),
+            "real_seq": jnp.asarray(
+                rng.uniform(-1, 1, (8, m.n_future_frames, m.n_pts, 2)), jnp.float32
+            ),
+            "action_code": jnp.asarray(
+                np.eye(m.n_action, dtype=np.float32)[rng.integers(0, m.n_action, 8)]
+            ),
+        }
+        key = jax.random.PRNGKey(9)
+        ref_state, ref_m = jax.jit(trainer.train_step)(
+            jax.tree.map(jnp.copy, state), batch, key
+        )
+        acc_state, acc_m = jax.jit(trainer.train_step_accum)(
+            jax.tree.map(jnp.copy, state), batch, key
+        )
+        for k in ref_m:
+            # per-row losses are identical (same params, same noise rows);
+            # mean of per-micro means == the full-batch mean
+            np.testing.assert_allclose(
+                np.asarray(acc_m[k]), np.asarray(ref_m[k]), rtol=2e-5, atol=1e-6,
+                err_msg=k,
+            )
+        lr = cfg.training.lr.start_val
+        self._assert_adam_envelope(acc_state.g_params, ref_state.g_params, lr)
+        self._assert_adam_envelope(acc_state.d_params, ref_state.d_params, lr)
+        assert int(acc_state.step) == 1
+
+    def test_stage1_accum_runs_and_updates(self):
+        import dataclasses
+
+        cfg = tiny_config()
+        cfg = dataclasses.replace(
+            cfg,
+            training=dataclasses.replace(cfg.training, batch_size=4, grad_accum=2),
+        ).validate()
+        trainer = Stage1Trainer(cfg, synthesize_vgg19_params(max_width=16))
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(6)
+        batch = {
+            "image": jnp.asarray(rng.uniform(-1, 1, (4, 32, 32, 3)), jnp.float32),
+            "future_image": jnp.asarray(rng.uniform(-1, 1, (4, 32, 32, 3)), jnp.float32),
+        }
+        new, metrics = jax.jit(trainer.train_step_accum)(
+            jax.tree.map(jnp.copy, state), batch
+        )
+        for k, v in metrics.items():
+            assert np.isfinite(float(v)), k
+        assert _tree_l2_diff(new.g_params, state.g_params) > 0
+        assert _tree_l2_diff(new.d_params, state.d_params) > 0
+        # the BN running stats advanced (EMA applied per micro, K times)
+        assert _tree_l2_diff(new.batch_stats, state.batch_stats) > 0
+        assert int(new.step) == 1
+
+    def test_validation(self):
+        import dataclasses
+
+        cfg = tiny_config()
+        with pytest.raises(ValueError, match="divide"):
+            dataclasses.replace(
+                cfg, training=dataclasses.replace(cfg.training, batch_size=6, grad_accum=4)
+            ).validate()
+        with pytest.raises(ValueError, match="fused"):
+            dataclasses.replace(
+                cfg,
+                training=dataclasses.replace(
+                    cfg.training, batch_size=8, grad_accum=2, gan_step_mode="two_batch"
+                ),
+            ).validate()
+        with pytest.raises(ValueError, match="grad_accum"):
+            dataclasses.replace(
+                cfg, training=dataclasses.replace(cfg.training, grad_accum=0)
+            ).validate()

@@ -236,6 +236,10 @@ def main():
         base_train_step if base_train_step is not None
         else trainer.jitted_train_step_two_batch if two_batch
         else trainer.jitted_train_step_dg if fused_dg
+        # grad_accum > 1: K-microbatch accumulation of the fused update
+        # (config.validate pins it to 'fused' mode; the dp path above
+        # routes to it inside make_dp_reduce_step)
+        else trainer.jitted_train_step_accum if t_cfg.grad_accum > 1
         else trainer.jitted_train_step,
         f"{args.mode}_train",
     )
