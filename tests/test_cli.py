@@ -146,6 +146,28 @@ def test_train_dp_bf16_cli(mini_env, mini_labels, tmp_path):
 
 
 @pytest.mark.slow
+def test_train_dp_accum_cli(mini_env, mini_labels, tmp_path):
+    """dp_grad_dtype + grad_accum COMPOSED through the REAL train.py on a
+    4-device CPU mesh (batch 8 -> 2 rows/shard -> 2 micros of 1): each
+    shard accumulates locally, grads cross the mesh once per update
+    (numerics pinned in test_dp_step::test_grad_accum_composes)."""
+    cfg = tmp_path / "cfg.yaml"
+    base = (mini_env / "cfg.yaml").read_text()
+    assert "batch_size: 4" in base
+    cfg.write_text(
+        base.replace(f"log_dir: '{mini_env}/results'", f"log_dir: '{tmp_path}/results'")
+        .replace("batch_size: 4", "batch_size: 8")
+        .replace("compute_dtype: 'float32'",
+                 "compute_dtype: 'float32'\n  dp_grad_dtype: 'bfloat16'"
+                 "\n  grad_accum: 2")
+    )
+    run(["train.py", "--mode", "motion_generator", "--config", str(cfg),
+         "--max-steps", "2", "--no-images"], n_devices=4)
+    out = tmp_path / "results" / "motion_generator"
+    assert list(out.glob("ckpt-*")), "dp-accum stage-2 checkpoint not written"
+
+
+@pytest.mark.slow
 def test_labeler_two_process_matches_single(mini_env, mini_labels):
     """Multi-host pseudo-labeling: two coordinated processes (strided
     video shards, shared output dir, coordination barriers, no

@@ -180,6 +180,12 @@ def main():
                 f"batch_size {t_cfg.batch_size} must be divisible by the "
                 f"'data' mesh axis ({n_data})"
             )
+        if t_cfg.grad_accum > 1 and (t_cfg.batch_size // n_data) % t_cfg.grad_accum:
+            raise ValueError(
+                f"per-shard batch ({t_cfg.batch_size}/{n_data}="
+                f"{t_cfg.batch_size // n_data}) must divide grad_accum "
+                f"({t_cfg.grad_accum}): accumulation splits each shard's rows"
+            )
         state = shard_state(mesh, state, min_shard_dim=p_cfg.min_shard_dim)
         logger.info(
             "mesh: data=%d x model=%d over %d devices on %d processes "
