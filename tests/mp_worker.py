@@ -173,6 +173,37 @@ def main():
     result.update({f"s2_g/{k}": v for k, v in to_np(state2.g_params).items()})
     result.update({f"s2_d/{k}": v for k, v in to_np(state2.d_params).items()})
 
+    # ---- stage 2, comm-efficient dp step (shard_map, bf16 grad psum) ----
+    # Same init/batches/rng as the jit stage-2 run above, through
+    # parallel/dp_step.py with the mesh spanning BOTH processes: the
+    # explicit bf16 pmean crosses hosts. The dp noise stream equals the
+    # jit step's (global draw, per-shard slice), so the first-step
+    # metrics must match s2_m0 tightly in every mode.
+    import dataclasses
+
+    from kpvid_tpu.parallel import make_dp_reduce_step
+
+    cfg16 = dataclasses.replace(
+        cfg, training=dataclasses.replace(cfg.training, dp_grad_dtype="bfloat16")
+    ).validate()
+    state2b = shard_state(
+        mesh, Stage2Trainer(cfg).init_state(jax.random.PRNGKey(1)), min_shard_dim=64
+    )
+    dp_jitted = make_dp_reduce_step(cfg16, mesh, stage=2)
+    it3 = make_iter(SeqDataset(), mesh)
+    batch3 = next(it3)
+    dp_step = compile_then_sync(
+        dp_jitted, "s2dp_compile", state2b, batch3, jax.random.PRNGKey(100)
+    )
+    for step in range(N_STEPS):
+        state2b, metrics3 = dp_step(state2b, batch3, jax.random.PRNGKey(100 + step))
+        if step == 0:
+            result.update({f"s2dp_m0_{k}": float(v) for k, v in metrics3.items()})
+        if step + 1 < N_STEPS:
+            batch3 = next(it3)
+    result.update({f"s2dp_g/{k}": v for k, v in to_np(state2b.g_params).items()})
+    result.update({f"s2dp_d/{k}": v for k, v in to_np(state2b.d_params).items()})
+
     if jax.process_index() == 0:
         np.savez(out_path, **result)
     print(f"mp_worker proc {jax.process_index()}/{jax.process_count()}: done", flush=True)

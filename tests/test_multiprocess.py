@@ -69,7 +69,7 @@ def test_two_process_dp_matches_single_process(tmp_path):
     from kpvid_tpu.configs import TrainingConfig
 
     lr = TrainingConfig().lr.start_val
-    for prefix in ("s1_g/", "s1_d/", "s2_g/", "s2_d/"):
+    for prefix in ("s1_g/", "s1_d/", "s2_g/", "s2_d/", "s2dp_g/", "s2dp_d/"):
         keys = [k for k in ref.files if k.startswith(prefix)]
         assert keys, prefix
         total, count = 0.0, 0
@@ -90,6 +90,16 @@ def test_two_process_dp_matches_single_process(tmp_path):
         )
     # the multi-process checkpoint was written once, by the primary
     assert (mp_ckpt / "detector_translator" / "ckpt-2").is_dir()
+    # the shard_map dp step's noise stream is byte-identical to the jit
+    # step's (global draw, per-shard slice), so its first-step FORWARD
+    # metrics equal the jit stage-2 ones within each run — in both the
+    # single-process and cross-host executions (parallel/dp_step.py)
+    for f in (ref, got):
+        for k in (k for k in f.files if k.startswith("s2_m0_")):
+            np.testing.assert_allclose(
+                float(f[k.replace("s2_m0_", "s2dp_m0_")]), float(f[k]),
+                rtol=5e-4, atol=1e-6, err_msg=k,
+            )
 
 
 def test_tp_sharded_checkpoint_allgather_branch(tmp_path):
