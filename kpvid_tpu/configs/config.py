@@ -263,7 +263,7 @@ class Config:
         if t.grad_accum > 1:
             if t.batch_size % t.grad_accum:
                 raise ValueError(
-                    f"batch_size ({t.batch_size}) must divide "
+                    f"batch_size ({t.batch_size}) must be divisible by "
                     f"grad_accum ({t.grad_accum})"
                 )
             if t.gan_step_mode != "fused":

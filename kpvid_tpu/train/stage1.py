@@ -286,7 +286,9 @@ class Stage1Trainer:
         K = self.config.training.grad_accum
         b = batch["image"].shape[0]
         if b % K:
-            raise ValueError(f"batch ({b} rows) must divide grad_accum={K}")
+            raise ValueError(
+                f"batch ({b} rows) must be divisible by grad_accum={K}"
+            )
         micros = jax.tree.map(lambda x: x.reshape(K, b // K, *x.shape[1:]), batch)
 
         g_vg = jax.value_and_grad(self._g_loss, has_aux=True)

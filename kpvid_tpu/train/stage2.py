@@ -266,7 +266,9 @@ class Stage2Trainer:
         first_pt, real_seq, act = self._flatten_batch(batch)
         b = first_pt.shape[0]
         if b % K:
-            raise ValueError(f"batch ({b} rows) must divide grad_accum={K}")
+            raise ValueError(
+                f"batch ({b} rows) must be divisible by grad_accum={K}"
+            )
         noise = self._make_noise(rng, b)
 
         def resh(x):

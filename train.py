@@ -183,8 +183,9 @@ def main():
         if t_cfg.grad_accum > 1 and (t_cfg.batch_size // n_data) % t_cfg.grad_accum:
             raise ValueError(
                 f"per-shard batch ({t_cfg.batch_size}/{n_data}="
-                f"{t_cfg.batch_size // n_data}) must divide grad_accum "
-                f"({t_cfg.grad_accum}): accumulation splits each shard's rows"
+                f"{t_cfg.batch_size // n_data}) must be divisible by "
+                f"grad_accum ({t_cfg.grad_accum}): accumulation splits "
+                "each shard's rows"
             )
         state = shard_state(mesh, state, min_shard_dim=p_cfg.min_shard_dim)
         logger.info(
